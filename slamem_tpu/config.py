@@ -1,0 +1,60 @@
+"""Frozen run configuration (SURVEY.md §5 "Config / flag system").
+
+The reference (slaMEM) hand-rolls argv parsing in ``main`` and threads ints
+through globals; here one frozen dataclass is the single config surface,
+populated from the slaMEM-compatible argv parser in ``cli/main.py``
+(SURVEY.md §2 CLI surface).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class MatchMode(enum.Enum):
+    """Match reporting mode (SURVEY.md §2: -mem / -mum / -mam flags)."""
+
+    MEM = "mem"  # all maximal exact matches (default)
+    MUM = "mum"  # matches unique in both reference and query
+    MAM = "mam"  # matches unique in the reference
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """All knobs for one engine run.
+
+    CLI-visible fields mirror the reference's surface (SURVEY.md §2):
+    mode, min_length (-l), out_path (-o), both_strands (-b). The rest are
+    TPU-engine tunables with no reference counterpart.
+    """
+
+    mode: MatchMode = MatchMode.MEM
+    min_length: int = 20            # -l; reference default 20 (SURVEY §2)
+    out_path: str | None = None     # -o; None → derived from input names
+    both_strands: bool = False      # -b; also search reverse complement
+    dotplot_path: str | None = None  # optional BMP dot-plot (graphics.c parity)
+
+    # --- engine tunables (new; no reference counterpart) ---
+    engine: str = "seed"            # "seed" (flagship) or "scan" (survey §3.2)
+    seed_length_cap: int = 28       # K = min(min_length, cap); see engine/seed_mode.py
+    position_block: int = 1 << 20   # query positions per device dispatch
+    pair_capacity: int = 1 << 22    # candidate-pair buffer per dispatch round
+    occ_block: int = 128            # occ checkpoint spacing (symbols)
+    verbose: bool = False
+
+    # --- distribution (SURVEY §2 "new first-class components") ---
+    data_parallel: bool = True      # stream query batches data-parallel
+    shard_index: bool = False       # shard FM-index by SA-rank range (config #5)
+
+    def __post_init__(self) -> None:
+        if self.min_length < 1:
+            raise ValueError(f"min_length must be >= 1, got {self.min_length}")
+        if not 1 <= self.seed_length_cap <= 31:
+            raise ValueError("seed_length_cap must be in [1, 31] (2-bit packing "
+                             f"into int64), got {self.seed_length_cap}")
+
+    @property
+    def seed_length(self) -> int:
+        """Seed depth K used by the seed engine: min(L, cap), packable in 62 bits."""
+        return min(self.min_length, self.seed_length_cap)
