@@ -13,4 +13,11 @@ SURVEY.md is the authoritative spec for this project).
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# The index build packs (rank, rank@+k) pairs and the seed engine packs
+# K<=31-mers into int64 sort keys; without x64 jax silently downcasts them to
+# int32 and corrupts both. Enabled once, package-wide, before any tracing.
+_jax.config.update("jax_enable_x64", True)
+
 from slamem_tpu.config import Config, MatchMode  # noqa: F401

@@ -1,12 +1,14 @@
 """Test config: run everything on a fake 8-device CPU mesh (SURVEY.md §4.4).
 
-Must set the env vars before jax initializes its backends, so this conftest
-is the only place allowed to import jax side-effectfully.
+The sandbox presets JAX_PLATFORMS=axon (tunneled TPU) and a sitecustomize that
+imports jax before any test code runs, so env vars alone cannot retarget the
+backend — jax.config.update can, as long as no backend has initialized yet.
+Compiles over the axon tunnel take minutes; tests must stay on host CPU.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,4 +16,4 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_debug_nans", True)  # SURVEY §5 "race detection" analogue
+jax.config.update("jax_platforms", "cpu")
