@@ -1,0 +1,97 @@
+"""Engine orchestration: FASTA sets -> per-query match listings.
+
+Mirrors the reference's control flow (SURVEY.md §3.1-§3.2): load reference →
+build index → for each query sequence (and strand with -b) → search → filter
+→ report, with the search itself delegated to the batched seed engine (or the
+scan engine once selected via Config.engine).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+
+from slamem_tpu.config import Config
+from slamem_tpu.engine import seed_mode
+from slamem_tpu.index.build import FMIndex, build_index
+from slamem_tpu.io.fasta import FastaSet, revcomp_codes
+
+
+@dataclasses.dataclass
+class QueryMatches:
+    """Matches of one query sequence on one strand, in reporting coordinates.
+
+    Positions are 0-based here; the formatter adds the reference's 1-based
+    convention at the last moment (report/format.py).
+    """
+
+    query_name: str
+    reverse: bool
+    ref_seq: np.ndarray   # int: index into EngineOutput.ref_names
+    ref_pos: np.ndarray   # 0-based position within that reference sequence
+    q_pos: np.ndarray     # 0-based position within the (strand-adjusted) query
+    length: np.ndarray
+
+
+@dataclasses.dataclass
+class EngineOutput:
+    ref_names: list[str]
+    per_query: list[QueryMatches]
+    stats: dict
+
+
+def _search_one(index: FMIndex, qcodes: np.ndarray, cfg: Config
+                ) -> seed_mode.SeedMatches:
+    if cfg.engine == "seed":
+        matches = seed_mode.find_seed_matches(index, qcodes, cfg)
+    elif cfg.engine == "scan":
+        from slamem_tpu.engine import scan_mode
+
+        matches = scan_mode.find_scan_matches(index, qcodes, cfg)
+    else:
+        raise ValueError(f"unknown engine {cfg.engine!r}")
+    return seed_mode.apply_mode_filter(matches, cfg)
+
+
+def run_engine(ref_set: FastaSet, query_set: FastaSet, cfg: Config,
+               index: FMIndex | None = None) -> EngineOutput:
+    t0 = time.perf_counter()
+    rtext, rstarts = ref_set.with_separators()
+    if index is None:
+        index = build_index(rtext, cfg.occ_block)
+    import jax
+
+    jax.block_until_ready(index.sa)  # async dispatch would fake the timings
+    t_build = time.perf_counter() - t0
+
+    per_query: list[QueryMatches] = []
+    total = 0
+    qbp = 0
+    t1 = time.perf_counter()
+    for qi in range(query_set.num_seqs):
+        strands = [False, True] if cfg.both_strands else [False]
+        for rev in strands:
+            qcodes = query_set.sequence(qi).codes
+            if rev:
+                qcodes = revcomp_codes(qcodes)
+            qbp += len(qcodes)
+            m = _search_one(index, qcodes, cfg)
+            order = np.lexsort((m.refpos, m.qpos))
+            refpos, qpos, length = m.refpos[order], m.qpos[order], m.length[order]
+            seq_id, local = ref_set.locate_in_text(refpos, rstarts)
+            per_query.append(QueryMatches(
+                query_name=query_set.names[qi], reverse=rev,
+                ref_seq=seq_id, ref_pos=local, q_pos=qpos, length=length))
+            total += int(length.size)
+    t_query = time.perf_counter() - t1
+    stats = {
+        "index_build_s": t_build,
+        "query_s": t_query,
+        "query_bp": qbp,
+        "matches": total,
+        "query_mbp_per_s": (qbp / 1e6) / t_query if t_query > 0 else 0.0,
+    }
+    return EngineOutput(ref_names=ref_set.names, per_query=per_query,
+                        stats=stats)

@@ -1,0 +1,343 @@
+"""Seed-and-run MEM engine — the TPU-first flagship query path.
+
+This replaces the reference's sequential right-to-left backward-search loop
+(SURVEY.md §3.2) with a fully data-parallel formulation whose every stage is
+a batched gather / sort / scan XLA maps directly onto TPU hardware:
+
+  1. pack every query position's K-mer (K = min(L, cap)) into an int64;
+  2. find its suffix-array interval by vectorized sorted search against the
+     packed K-mers of the reference in SA order (one monotone table);
+  3. expand intervals into (diagonal, qpos) candidate pairs under a fixed
+     per-round capacity (no dynamic shapes on device);
+  4. radix-sort the packed (diagonal, qpos) keys;
+  5. maximal matches fall out as runs of consecutive qpos on a diagonal:
+     a run [a, b] on diagonal c IS the maximal match (c + a, a, K + b - a).
+
+Why this is correct (proof sketch, engine/seed_mode.py is the only place the
+argument lives so it is spelled out):
+  * every candidate pair (r, i) satisfies pairLCP(ref[r:], q[i:]) >= K, and
+    every pair with pairLCP >= K is produced exactly once;
+  * a maximal match of length D >= K >= ... contributes pairs at offsets
+    o = 0..D-K (windows fully inside the match), i.e. one maximal run;
+  * left/right maximality: a pair adjacent to the run (i = a-1 or b+1 on the
+    same diagonal) would force the window to match, contradicting run
+    maximality, so ref[c+a-1] != q[a-1] and the length is exactly K + b - a;
+  * matches of length in [K, L) are dropped by the final length filter.
+
+MUM/MAM (SURVEY.md §3.4) reduce to occurrence counting over the same pairs:
+the occurrences of a match's full string in the reference are exactly the
+pairs at its start qpos whose run extends at least as far right — an
+equality-keyed count answered by two vectorized searchsorteds, no index
+walk needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slamem_tpu.config import Config
+from slamem_tpu.index.build import FMIndex
+from slamem_tpu.io.fasta import CODE_N
+
+_I64MAX = np.iinfo(np.int64).max
+
+
+# ---------------------------------------------------------------------------
+# K-mer packing
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def packed_kmers(text: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """(packed, valid) for every position of a code text.
+
+    packed[i] = the K chars from i as a base-4 int64, truncated at the first
+    special (N/SEP/end): chars from the first special onward contribute 0.
+    valid[i] = window [i, i+k) lies inside the text and contains no special.
+
+    The truncation rule makes the packed value of an invalid window <= the
+    packed value of any real window sharing its prefix, which is exactly what
+    keeps the SA-ordered reference table non-decreasing (specials sort below
+    A in the index's suffix order) — see seed_table.
+    """
+    n = text.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int64)
+    special_at = jnp.where(text >= CODE_N, pos, jnp.int64(n))
+    next_special = jax.lax.cummin(special_at, reverse=True)
+    valid = next_special - pos >= k
+    padded = jnp.concatenate([text, jnp.zeros((k,), jnp.uint8)])
+    acc = jnp.zeros((n,), jnp.int64)
+    for t in range(k):
+        ch = padded[t:t + n].astype(jnp.int64)
+        mask = pos + t < next_special
+        acc = acc * 4 + jnp.where(mask, ch, 0)
+    return acc, valid
+
+
+def seed_table(index: FMIndex, k: int) -> tuple[jax.Array, jax.Array]:
+    """(refk, refvalid): packed K-mers in SA order + per-position validity.
+
+    refk is non-decreasing (argued in packed_kmers), so sorted search against
+    it yields the SA interval of any ACGT K-mer. Entries whose window touches
+    a special are placeholders filtered via refvalid at pair expansion.
+    """
+    packed, valid = packed_kmers(index.text, k)
+    return packed[index.sa], valid
+
+
+# ---------------------------------------------------------------------------
+# Seed intervals + capacity-bounded pair expansion (device side)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def seed_intervals(refk: jax.Array, qk: jax.Array, qvalid: jax.Array
+                   ) -> tuple[jax.Array, jax.Array]:
+    """SA interval [lo, lo+width) of every query window's K-mer."""
+    lo = jnp.searchsorted(refk, qk, side="left")
+    hi = jnp.searchsorted(refk, qk, side="right")
+    width = jnp.where(qvalid, hi - lo, 0)
+    return lo.astype(jnp.int64), width.astype(jnp.int64)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def expand_and_sort(sa: jax.Array, refvalid: jax.Array, lo: jax.Array,
+                    width: jax.Array, qpos0: jax.Array, diag_mod: jax.Array,
+                    capacity: int) -> jax.Array:
+    """Expand one block of intervals into sorted packed (diag, qpos) keys.
+
+    All shapes static: ragged expansion is done by inverting the cumulative
+    width with a searchsorted over slot ids; slots beyond the block's total
+    and pairs whose ref window is invalid become int64-max sentinels that
+    sort to the tail. key = (refpos - qpos + m) * diag_mod + qpos, chosen so
+    consecutive qpos on one diagonal differ by exactly 1 and diagonals never
+    alias (diag_mod > max qpos + 1).
+    """
+    ends = jnp.cumsum(width)
+    slot = jnp.arange(capacity, dtype=jnp.int64)
+    seg = jnp.searchsorted(ends, slot, side="right")
+    seg_c = jnp.clip(seg, max=width.shape[0] - 1)
+    t = slot - (ends[seg_c] - width[seg_c])
+    in_range = slot < ends[-1]
+    sa_idx = jnp.clip(lo[seg_c] + t, 0, sa.shape[0] - 1)
+    refpos = sa[sa_idx].astype(jnp.int64)
+    qp = qpos0[seg_c]
+    ok = in_range & refvalid[refpos]
+    m_off = diag_mod // 2  # any value > max qpos keeps diag positive
+    key = (refpos - qp + m_off) * diag_mod + qp
+    return jnp.sort(jnp.where(ok, key, _I64MAX))
+
+
+# ---------------------------------------------------------------------------
+# Run extraction (host side, vectorized numpy)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class RunBatch:
+    """Maximal >=K matches plus (optionally) per-pair data for MUM/MAM."""
+
+    diag: np.ndarray    # int64 refpos - qpos
+    qstart: np.ndarray  # int64 first query position of the run
+    qend: np.ndarray    # int64 last  query position of the run (inclusive)
+    pair_qpos: np.ndarray | None = None   # per-pair: query position
+    pair_refpos: np.ndarray | None = None  # per-pair: ref position
+    pair_ext: np.ndarray | None = None    # per-pair: match length from pair
+
+
+def runs_from_sorted_keys(sorted_keys: np.ndarray, diag_mod: int, k: int,
+                          want_pairs: bool) -> RunBatch:
+    """Decode sorted (diag, qpos) keys into maximal runs (one per match)."""
+    keys = sorted_keys[sorted_keys != _I64MAX]
+    if keys.size == 0:
+        e = np.zeros(0, np.int64)
+        return RunBatch(e, e, e.copy(),
+                        *( (e, e, e) if want_pairs else (None, None, None)))
+    brk = np.empty(keys.size, dtype=bool)
+    brk[0] = True
+    np.not_equal(np.diff(keys), 1, out=brk[1:])
+    starts = np.flatnonzero(brk)
+    ends = np.append(starts[1:], keys.size)  # exclusive
+    m_off = diag_mod // 2
+    qstart = keys[starts] % diag_mod
+    diag = keys[starts] // diag_mod - m_off
+    qend = qstart + (ends - starts - 1)
+    if not want_pairs:
+        return RunBatch(diag, qstart, qend)
+    run_id = np.cumsum(brk) - 1
+    pair_qpos = keys % diag_mod
+    pair_refpos = (keys // diag_mod - m_off) + pair_qpos
+    pair_ext = k + qend[run_id] - pair_qpos
+    return RunBatch(diag, qstart, qend, pair_qpos, pair_refpos, pair_ext)
+
+
+def merge_runs(batches: list[RunBatch]) -> RunBatch:
+    """Merge per-round runs whose spans abut across round boundaries.
+
+    Rounds partition query positions into contiguous blocks, so a match
+    crossing a block edge appears as two (or more) runs with the same
+    diagonal and contiguous [qstart, qend] spans. Chains collapse with a
+    groupby over break flags.
+    """
+    diag = np.concatenate([b.diag for b in batches])
+    qstart = np.concatenate([b.qstart for b in batches])
+    qend = np.concatenate([b.qend for b in batches])
+    if diag.size == 0:
+        return RunBatch(diag, qstart, qend)
+    order = np.lexsort((qstart, diag))
+    diag, qstart, qend = diag[order], qstart[order], qend[order]
+    new = np.empty(diag.size, dtype=bool)
+    new[0] = True
+    new[1:] = (diag[1:] != diag[:-1]) | (qstart[1:] != qend[:-1] + 1)
+    gstart = np.flatnonzero(new)
+    gend = np.append(gstart[1:], diag.size) - 1
+    return RunBatch(diag[gstart], qstart[gstart], qend[gend])
+
+
+# ---------------------------------------------------------------------------
+# Top-level search
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SeedMatches:
+    """Matches in global text coordinates + pair tables for uniqueness."""
+
+    refpos: np.ndarray   # int64
+    qpos: np.ndarray     # int64
+    length: np.ndarray   # int64
+    pairs_by_qpos: tuple[np.ndarray, np.ndarray] | None = None
+    pairs_by_refpos: tuple[np.ndarray, np.ndarray] | None = None
+
+
+def find_seed_matches(index: FMIndex, query_text: np.ndarray,
+                      cfg: Config) -> SeedMatches:
+    """All maximal matches of length >= cfg.min_length (mode filters later).
+
+    Host-side planning slices query positions into rounds whose total pair
+    count fits cfg.pair_capacity; each round is one fixed-shape device
+    dispatch. No silent caps: every interval is expanded across as many
+    rounds as it needs.
+    """
+    k = cfg.seed_length
+    m = int(query_text.shape[0])
+    qt = jnp.asarray(query_text, dtype=jnp.uint8)
+    refk, refvalid = seed_table(index, k)
+    qk, qvalid = packed_kmers(qt, k)
+    lo, width = seed_intervals(refk, qk, qvalid)
+
+    w_host = np.asarray(width)
+    cum = np.concatenate(([0], np.cumsum(w_host)))
+    total_pairs = int(cum[-1])
+    diag_mod = np.int64(m + 2)
+    capacity = int(cfg.pair_capacity)
+
+    want_pairs = cfg.mode.value != "mem"
+    batches: list[RunBatch] = []
+    pair_chunks: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    start = 0
+    while start < m:
+        # widest block with <= capacity pairs and <= position_block positions
+        end = int(np.searchsorted(cum, cum[start] + capacity, side="right")) - 1
+        end = min(max(end, start + 1), m, start + cfg.position_block)
+        if cum[end] - cum[start] > capacity:  # single position too wide
+            raise NotImplementedError(
+                f"query position {start} has interval width "
+                f"{int(w_host[start])} > pair_capacity {capacity}; raise "
+                "pair_capacity for this input")
+        qpos0 = jnp.arange(start, end, dtype=jnp.int64)
+        sorted_keys = expand_and_sort(
+            index.sa, refvalid, lo[start:end], width[start:end], qpos0,
+            diag_mod, capacity)
+        batch = runs_from_sorted_keys(np.asarray(sorted_keys), int(diag_mod),
+                                      k, want_pairs)
+        if want_pairs and batch.pair_qpos is not None:
+            pair_chunks.append(
+                (batch.pair_qpos, batch.pair_refpos, batch.pair_ext))
+        batches.append(batch)
+        start = end
+
+    runs = merge_runs(batches) if batches else RunBatch(
+        np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64))
+    length = runs.qend - runs.qstart + k
+    keep = length >= cfg.min_length
+    matches = SeedMatches(
+        refpos=(runs.diag + runs.qstart)[keep],
+        qpos=runs.qstart[keep],
+        length=length[keep],
+    )
+
+    if want_pairs:
+        # Pair extents computed inside a round understate runs merged across
+        # rounds; recompute from the merged runs: a pair (diag, qpos) belongs
+        # to the unique merged run with that diag and qstart <= qpos <= qend.
+        if pair_chunks:
+            pq = np.concatenate([c[0] for c in pair_chunks])
+            pr = np.concatenate([c[1] for c in pair_chunks])
+        else:
+            pq = pr = np.zeros(0, np.int64)
+        pdiag = pr - pq
+        ro = np.lexsort((runs.qstart, runs.diag))
+        rdiag, rqs, rqe = runs.diag[ro], runs.qstart[ro], runs.qend[ro]
+        idx = np.searchsorted(
+            rdiag * np.int64(diag_mod) + rqs,
+            pdiag * np.int64(diag_mod) + pq, side="right") - 1
+        pext = k + rqe[idx] - pq
+        big = np.int64(max(int(pext.max()) if pext.size else 0, m, k) + 2)
+        matches.pairs_by_qpos = (np.sort(pq * big + pext), big)
+        matches.pairs_by_refpos = (np.sort(pr * big + pext), big)
+    return matches
+
+
+# ---------------------------------------------------------------------------
+# MUM / MAM filtering (SURVEY.md §3.4)
+# ---------------------------------------------------------------------------
+
+def _count_ext_geq(sorted_keys: np.ndarray, big: np.int64, group: np.ndarray,
+                   min_ext: np.ndarray) -> np.ndarray:
+    """#pairs with group key == group[i] and extension >= min_ext[i].
+
+    sorted_keys holds group*big + ext ascending; ext < big, so
+    [group*big + min_ext, (group+1)*big) is exactly the wanted range.
+    """
+    lo = np.searchsorted(sorted_keys, group * big + min_ext, side="left")
+    hi = np.searchsorted(sorted_keys, (group + 1) * big, side="left")
+    return hi - lo
+
+
+def ref_occurrence_counts(matches: SeedMatches) -> np.ndarray:
+    """#occurrences in the reference of each match's full string.
+
+    occ(m) = #pairs at qpos == m.qpos with extension >= m.length: each such
+    pair lies on a distinct diagonal, i.e. is a distinct ref occurrence of
+    exactly the string q[m.qpos : m.qpos + m.length].
+    """
+    keys, big = matches.pairs_by_qpos
+    return _count_ext_geq(keys, big, matches.qpos, matches.length)
+
+
+def query_occurrence_counts(matches: SeedMatches) -> np.ndarray:
+    """#occurrences in the query of each (reference-unique) match's string.
+
+    Valid for MAM survivors: the string occurs at a single ref position r,
+    so its query occurrences correspond one-to-one to pairs at refpos == r
+    with extension >= m.length. The engine runs one query sequence at a
+    time, so the count is naturally per query sequence.
+    """
+    keys, big = matches.pairs_by_refpos
+    return _count_ext_geq(keys, big, matches.refpos, matches.length)
+
+
+def apply_mode_filter(matches: SeedMatches, cfg: Config) -> SeedMatches:
+    """MEM: identity. MAM: ref-unique. MUM: ref-unique AND query-unique."""
+    if cfg.mode.value == "mem":
+        return matches
+    keep = ref_occurrence_counts(matches) == 1
+    sub = SeedMatches(matches.refpos[keep], matches.qpos[keep],
+                      matches.length[keep], matches.pairs_by_qpos,
+                      matches.pairs_by_refpos)
+    if cfg.mode.value == "mam":
+        return sub
+    keep2 = query_occurrence_counts(sub) == 1
+    return SeedMatches(sub.refpos[keep2], sub.qpos[keep2], sub.length[keep2])

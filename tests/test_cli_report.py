@@ -1,0 +1,123 @@
+"""CLI, formatter, index save/load and dot-plot tests (golden-file gated)."""
+
+import numpy as np
+import pytest
+
+from slamem_tpu.cli.main import CliError, main, parse_args
+from slamem_tpu.config import MatchMode
+from slamem_tpu.io import Sequence, write_fasta
+from slamem_tpu.utils.synth import mutate, random_genome
+
+
+def test_parse_args_full():
+    cfg, ref, queries, extras = parse_args(
+        ["-mum", "-l", "30", "-o", "out.txt", "-b", "ref.fa", "q1.fa", "q2.fa"])
+    assert cfg.mode is MatchMode.MUM
+    assert cfg.min_length == 30
+    assert cfg.out_path == "out.txt"
+    assert cfg.both_strands
+    assert ref == "ref.fa"
+    assert queries == ["q1.fa", "q2.fa"]
+
+
+def test_parse_args_defaults():
+    cfg, ref, queries, _ = parse_args(["r.fa", "q.fa"])
+    assert cfg.mode is MatchMode.MEM and cfg.min_length == 20
+    assert not cfg.both_strands
+
+
+@pytest.mark.parametrize("argv", [
+    [], ["r.fa"], ["-l"], ["-l", "x", "r.fa", "q.fa"], ["-badflag", "r", "q"],
+    ["-engine", "bogus", "r", "q"], ["-l", "0", "r.fa", "q.fa"],
+])
+def test_parse_args_errors(argv):
+    with pytest.raises(CliError):
+        parse_args(argv)
+
+
+@pytest.fixture
+def small_pair(tmp_path):
+    ref = random_genome(800, seed=31)
+    qry = mutate(ref, 0.02, 0.002, seed=32)
+    rp, qp = tmp_path / "ref.fa", tmp_path / "qry.fa"
+    write_fasta(rp, [Sequence("refseq", ref)])
+    write_fasta(qp, [Sequence("queryseq", qry)])
+    return rp, qp
+
+
+def test_cli_end_to_end(small_pair, tmp_path, capsys):
+    rp, qp = small_pair
+    outp = tmp_path / "m.txt"
+    rc = main(["-l", "15", "-o", str(outp), str(rp), str(qp)])
+    assert rc == 0
+    text = outp.read_text()
+    assert text.startswith("> queryseq\n")
+    lines = [l for l in text.splitlines()[1:] if l.strip()]
+    assert len(lines) >= 1
+    cols = lines[0].split()
+    assert len(cols) == 3 and all(c.isdigit() for c in cols)
+    # 1-based sanity: positions >= 1
+    assert all(int(c) >= 1 for c in cols)
+
+
+def test_cli_reverse_headers(small_pair, tmp_path):
+    rp, qp = small_pair
+    outp = tmp_path / "m.txt"
+    assert main(["-b", "-l", "15", "-o", str(outp), str(rp), str(qp)]) == 0
+    text = outp.read_text()
+    assert "> queryseq\n" in text
+    assert "> queryseq Reverse\n" in text
+
+
+def test_cli_save_load_roundtrip(small_pair, tmp_path):
+    rp, qp = small_pair
+    idxp = tmp_path / "ref.npz"
+    out1 = tmp_path / "m1.txt"
+    out2 = tmp_path / "m2.txt"
+    assert main(["-save", str(idxp), "-l", "15", "-o", str(out1),
+                 str(rp), str(qp)]) == 0
+    assert idxp.exists()
+    assert main(["-load", str(idxp), "-l", "15", "-o", str(out2),
+                 str(rp), str(qp)]) == 0
+    assert out1.read_text() == out2.read_text()
+
+
+def test_cli_load_mismatched_index(small_pair, tmp_path):
+    rp, qp = small_pair
+    other = random_genome(300, seed=99)
+    op = tmp_path / "other.fa"
+    write_fasta(op, [Sequence("other", other)])
+    idxp = tmp_path / "other.npz"
+    assert main(["-save", str(idxp), str(op)]) == 0
+    assert main(["-load", str(idxp), "-o", str(tmp_path / "x.txt"),
+                 str(rp), str(qp)]) == 2
+
+
+def test_cli_dotplot(small_pair, tmp_path):
+    rp, qp = small_pair
+    plotp = tmp_path / "plot.bmp"
+    assert main(["-l", "15", "-o", str(tmp_path / "m.txt"), "-plot",
+                 str(plotp), str(rp), str(qp)]) == 0
+    blob = plotp.read_bytes()
+    assert blob[:2] == b"BM"
+    assert len(blob) == 14 + 40 + 1024 * 1024 * 3  # 1024x1024x24bpp
+
+
+def test_golden_listing(tmp_path):
+    """Frozen-format golden: any formatter change must be deliberate."""
+    ref = random_genome(400, seed=41)
+    # spacer bases chosen to mismatch the bordering ref bases so the two
+    # planted matches have exactly the expected lengths
+    spacer = np.array([(ref[130] + 1) % 4, 2, (ref[199] + 1) % 4], np.uint8)
+    qry = np.concatenate([ref[50:130], spacer, ref[200:260]])
+    rp, qp = tmp_path / "r.fa", tmp_path / "q.fa"
+    write_fasta(rp, [Sequence("R", ref)])
+    write_fasta(qp, [Sequence("Q", qry)])
+    outp = tmp_path / "o.txt"
+    assert main(["-l", "20", "-o", str(outp), str(rp), str(qp)]) == 0
+    golden = (
+        "> Q\n"
+        "      51         1        80\n"
+        "     201        84        60\n"
+    )
+    assert outp.read_text() == golden

@@ -1,0 +1,129 @@
+"""Seed-engine parity vs the CPU oracle (SURVEY.md §4 items 1 and 5)."""
+
+import numpy as np
+import pytest
+
+from slamem_tpu.config import Config, MatchMode
+from slamem_tpu.engine.seed_mode import apply_mode_filter, find_seed_matches
+from slamem_tpu.index.build import build_index
+from slamem_tpu.io import parse_fasta_bytes, str_to_codes
+from slamem_tpu.oracle import oracle_matches
+from slamem_tpu.utils.synth import mutate, random_genome, with_n_runs
+
+
+def engine_tuples(index, qcodes, cfg):
+    m = apply_mode_filter(find_seed_matches(index, qcodes, cfg), cfg)
+    return sorted(zip(m.refpos.tolist(), m.qpos.tolist(), m.length.tolist()))
+
+
+def oracle_tuples(rtext, qcodes, cfg):
+    return sorted((r, q, ln) for r, q, ln in
+                  oracle_matches(rtext, qcodes, cfg.min_length,
+                                 cfg.mode.value))
+
+
+def check(rtext, qcodes, cfg):
+    index = build_index(np.asarray(rtext, np.uint8), occ_block=32)
+    got = engine_tuples(index, np.asarray(qcodes, np.uint8), cfg)
+    want = oracle_tuples(np.asarray(rtext, np.uint8),
+                         np.asarray(qcodes, np.uint8), cfg)
+    assert got == want, (f"engine={got[:10]}... ({len(got)}) "
+                         f"oracle={want[:10]}... ({len(want)})")
+
+
+def test_identical_sequences():
+    t = str_to_codes("ACGTAGGCTTACGATCGATT")
+    check(t, t, Config(min_length=5))
+
+
+def test_strain_pair_mem():
+    ref = random_genome(4000, seed=3)
+    qry = mutate(ref, 0.02, 0.002, seed=4)
+    check(ref, qry, Config(min_length=12))
+
+
+def test_min_length_exact_boundary():
+    # matches of exactly L must be kept, L-1 dropped; K == L here
+    ref = str_to_codes("TTTTACGTACGGGGG")
+    qry = str_to_codes("CCCACGTACGCCC")
+    check(ref, qry, Config(min_length=7))   # "ACGTACG" len 7
+    check(ref, qry, Config(min_length=8))   # no match of 8
+
+
+def test_k_smaller_than_l():
+    # seed_length_cap < L exercises run-length filtering with K < L
+    ref = random_genome(3000, seed=5)
+    qry = mutate(ref, 0.03, 0.003, seed=6)
+    check(ref, qry, Config(min_length=15, seed_length_cap=8))
+
+
+def test_multiround_capacity():
+    # force many expansion rounds + cross-round run merging
+    ref = random_genome(2000, seed=7)
+    qry = mutate(ref, 0.01, 0.001, seed=8)
+    check(ref, qry, Config(min_length=10, pair_capacity=64, position_block=37))
+
+
+def test_n_runs_and_boundaries():
+    ref = with_n_runs(random_genome(1500, seed=9), 5, 30, seed=10)
+    qry = with_n_runs(mutate(ref, 0.02, 0.002, seed=11), 4, 25, seed=12)
+    check(ref, qry, Config(min_length=10))
+
+
+def test_multifasta_reference():
+    fs = parse_fasta_bytes(
+        b">r1\n" + b"ACGTACGTGGAT" * 6 + b"\n>r2\n" + b"TTGACCAGGATCC" * 5 + b"\n")
+    rtext, _ = fs.with_separators()
+    qry = np.concatenate([str_to_codes("ACGTACGTGGAT"),
+                          str_to_codes("TTGACCAGGATCC")])
+    check(rtext, qry, Config(min_length=10))
+
+
+def test_low_complexity_repeats():
+    # poly-A + tandem repeats: wide intervals, many overlapping matches
+    ref = np.concatenate([np.zeros(60, np.uint8), str_to_codes("ACGT" * 30),
+                          random_genome(500, seed=13)])
+    qry = np.concatenate([np.zeros(40, np.uint8), str_to_codes("ACGT" * 20),
+                          mutate(random_genome(500, seed=13), 0.02, 0, seed=14)])
+    check(ref, qry, Config(min_length=8, pair_capacity=1 << 14))
+
+
+def test_mam_mode():
+    ref = random_genome(1500, seed=15)
+    # plant a duplicated segment so MAM differs from MEM
+    ref[700:780] = ref[100:180]
+    qry = mutate(ref, 0.01, 0.001, seed=16)
+    check(ref, qry, Config(min_length=12, mode=MatchMode.MAM))
+
+
+def test_mum_mode():
+    ref = random_genome(1200, seed=17)
+    ref[600:660] = ref[100:160]          # ref-side duplication
+    qry = mutate(ref, 0.01, 0.001, seed=18)
+    qry = np.concatenate([qry, qry[200:260]])  # query-side duplication
+    check(ref, qry, Config(min_length=12, mode=MatchMode.MUM))
+
+
+def test_match_at_sequence_edges():
+    ref = str_to_codes("ACGTACGTAA")
+    qry = str_to_codes("ACGTACGTAA")
+    check(ref, qry, Config(min_length=10))  # full-length match at both edges
+    check(str_to_codes("GGACGTACGTAA"), qry, Config(min_length=10))
+
+
+@pytest.mark.parametrize("seed", [20, 21, 22])
+def test_property_random(seed):
+    rng = np.random.default_rng(seed)
+    n, m = int(rng.integers(200, 800)), int(rng.integers(200, 800))
+    ref = rng.integers(0, 4, size=n).astype(np.uint8)
+    qry = rng.integers(0, 4, size=m).astype(np.uint8)
+    # small alphabet-ish: overwrite chunks to create matches
+    for _ in range(6):
+        ln = int(rng.integers(10, 60))
+        if n > ln and m > ln:
+            r0 = int(rng.integers(0, n - ln))
+            q0 = int(rng.integers(0, m - ln))
+            qry[q0:q0 + ln] = ref[r0:r0 + ln]
+    L = int(rng.integers(8, 14))
+    mode = [MatchMode.MEM, MatchMode.MAM, MatchMode.MUM][seed % 3]
+    check(ref, qry, Config(min_length=L, mode=mode))
