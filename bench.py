@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Headline benchmark: query Mbp/s per chip (BASELINE.json metric).
+
+Scenario: synthetic E. coli-scale strain pair (5 Mbp, ~1.5% SNPs + indels —
+matched statistics for BASELINE config #1; real FASTA not provisioned in this
+sandbox, SURVEY.md §6), MEM mode, -l 20. The timed region is the full query
+phase (seed search, pair expansion, sort, run extraction and merge), index
+build excluded — the index is a reusable checkpoint (SURVEY.md §5).
+
+vs_baseline: ratio against a single-CPU-thread run of the same engine
+(BASELINE config #1 demands "single CPU thread" reference semantics; the 2014
+binary is unobtainable here — SURVEY.md §0). Calibrate once with:
+    taskset -c 0 python bench.py --calibrate
+which stores the CPU number + provenance in BENCH_BASELINE.json.
+
+Prints exactly ONE JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SIZE = 5_000_000
+MINLEN = 20
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+
+
+def build_inputs(size: int):
+    from slamem_tpu.utils.synth import strain_pair
+
+    return strain_pair(size, seed=20260816, sub_rate=0.015, indel_rate=0.0015)
+
+
+def run_bench(size: int, minlen: int, repeats: int = 3) -> dict:
+    import jax
+
+    from slamem_tpu.config import Config
+    from slamem_tpu.engine.seed_mode import find_seed_matches
+    from slamem_tpu.index.build import build_index
+
+    ref, qry = build_inputs(size)
+    cfg = Config(min_length=minlen)
+    t0 = time.perf_counter()
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    t_build = time.perf_counter() - t0
+
+    # warmup (compiles + cache)
+    m = find_seed_matches(index, qry, cfg)
+    n_matches = int(m.length.size)
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        find_seed_matches(index, qry, cfg)
+        times.append(time.perf_counter() - t0)
+    t_query = min(times)
+    return {
+        "mbp_per_s": (len(qry) / 1e6) / t_query,
+        "query_s": t_query,
+        "build_s": t_build,
+        "matches": n_matches,
+        "query_bp": len(qry),
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+    }
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    calibrate = "--calibrate" in argv
+    size = SIZE
+    if "--quick" in argv:
+        size = 1_000_000
+    for i, a in enumerate(argv):
+        if a == "--size":
+            size = int(argv[i + 1])
+
+    if calibrate:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    res = run_bench(size, MINLEN)
+
+    if calibrate:
+        payload = {
+            "cpu_single_thread_mbp_per_s": res["mbp_per_s"],
+            "provenance": "same engine, jax CPU backend, pin with "
+                          "`taskset -c 0 python bench.py --calibrate`",
+            "size": size,
+            "minlen": MINLEN,
+            "query_s": res["query_s"],
+            "device": res["device"],
+        }
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(json.dumps({"metric": "cpu_baseline_mbp_per_s",
+                          "value": round(res["mbp_per_s"], 3),
+                          "unit": "Mbp/s", "vs_baseline": 1.0}))
+        return 0
+
+    vs = None
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            base = json.load(f)["cpu_single_thread_mbp_per_s"]
+        vs = res["mbp_per_s"] / base if base > 0 else None
+    print(json.dumps({
+        "metric": "query_mbp_per_s_per_chip",
+        "value": round(res["mbp_per_s"], 3),
+        "unit": "Mbp/s",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+    }))
+    print(json.dumps({"detail": {k: (round(v, 4) if isinstance(v, float)
+                                     else v) for k, v in res.items()}}),
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -20,4 +20,16 @@ import jax as _jax
 # int32 and corrupts both. Enabled once, package-wide, before any tracing.
 _jax.config.update("jax_enable_x64", True)
 
+# Compiles on tunneled/remote TPU backends cost minutes; persist them.
+import os as _os
+
+_cache_dir = _os.environ.get("SLAMEM_JAX_CACHE",
+                             _os.path.expanduser("~/.cache/slamem_jax"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # cache is an optimization only
+    pass
+
 from slamem_tpu.config import Config, MatchMode  # noqa: F401

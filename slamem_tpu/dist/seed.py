@@ -1,0 +1,87 @@
+"""Data-parallel seed-engine steps over a device mesh.
+
+The FM-index arrays are replicated; query-position blocks stream data-parallel
+along the ``q`` mesh axis (BASELINE north star). Each device expands its block
+into sorted candidate keys; a psum merges the global candidate count (the
+cheap collective statistic) and the sorted key blocks are gathered for host
+run extraction. shard_map keeps per-device shapes static — the same
+_expand_sort_core as the single-chip path, no divergence between the two.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from slamem_tpu.engine.seed_mode import _I64MAX, _expand_sort_core
+
+try:  # jax >= 0.4.35 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "capacity", "all_gather_keys"))
+def sharded_expand_sort(mesh: Mesh, sa: jax.Array, refvalid: jax.Array,
+                        lo: jax.Array, width: jax.Array, qpos0: jax.Array,
+                        diag_mod: jax.Array, capacity: int,
+                        all_gather_keys: bool = False):
+    """Expand ndev blocks at once: [ndev, B] inputs -> [ndev, capacity] keys.
+
+    With all_gather_keys=True every shard also receives the full key set
+    (the BASELINE "hits merged via all_gather before emission" path used in
+    multi-host runs where only host 0 formats output); the psum'd total pair
+    count always rides along as the cross-shard statistic.
+    """
+
+    def step(sa, rv, lo, w, q0, dmod):
+        keys = _expand_sort_core(sa, rv, lo[0], w[0], q0[0], dmod, capacity)
+        count = jnp.sum(keys != _I64MAX)
+        total = jax.lax.psum(count, "q")
+        if all_gather_keys:
+            gathered = jax.lax.all_gather(keys, "q")  # [ndev, capacity]
+            return keys[None], total[None], gathered[None]
+        return keys[None], total[None]
+
+    out_specs = ((P("q", None), P("q"), P("q", None, None))
+                 if all_gather_keys else (P("q", None), P("q")))
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(), P("q", None), P("q", None), P("q", None), P()),
+        out_specs=out_specs)
+    return fn(sa, refvalid, lo, width, qpos0, diag_mod)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "capacity"))
+def full_query_step(mesh: Mesh, refk: jax.Array, refvalid: jax.Array,
+                    sa: jax.Array, qk: jax.Array, qvalid: jax.Array,
+                    qpos0: jax.Array, diag_mod: jax.Array, capacity: int):
+    """One complete distributed query step, jitted end to end.
+
+    This is the "training step" analogue the driver dry-runs over an
+    n-device mesh: replicated index (refk/refvalid/sa), query K-mers sharded
+    [ndev, B] along ``q``, per-shard sorted-search + expansion + sort, psum
+    of the candidate count and all_gather of the sorted key blocks.
+    """
+
+    def step(refk, rv, sa, qk, qv, q0, dmod):
+        qk1, qv1, q01 = qk[0], qv[0], q0[0]
+        lo = jnp.searchsorted(refk, qk1, side="left")
+        hi = jnp.searchsorted(refk, qk1, side="right")
+        width = jnp.where(qv1, hi - lo, 0).astype(jnp.int64)
+        keys = _expand_sort_core(sa, rv, lo.astype(jnp.int64), width, q01,
+                                 dmod, capacity)
+        total = jax.lax.psum(jnp.sum(keys != _I64MAX), "q")
+        gathered = jax.lax.all_gather(keys, "q")
+        return gathered[None], total[None]
+
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(), P(), P("q", None), P("q", None), P("q", None),
+                  P()),
+        out_specs=(P("q", None, None), P("q")))
+    return fn(refk, refvalid, sa, qk, qvalid, qpos0, diag_mod)

@@ -42,10 +42,10 @@ class EngineOutput:
     stats: dict
 
 
-def _search_one(index: FMIndex, qcodes: np.ndarray, cfg: Config
-                ) -> seed_mode.SeedMatches:
+def _search_one(index: FMIndex, qcodes: np.ndarray, cfg: Config,
+                mesh=None) -> seed_mode.SeedMatches:
     if cfg.engine == "seed":
-        matches = seed_mode.find_seed_matches(index, qcodes, cfg)
+        matches = seed_mode.find_seed_matches(index, qcodes, cfg, mesh=mesh)
     elif cfg.engine == "scan":
         from slamem_tpu.engine import scan_mode
 
@@ -56,7 +56,7 @@ def _search_one(index: FMIndex, qcodes: np.ndarray, cfg: Config
 
 
 def run_engine(ref_set: FastaSet, query_set: FastaSet, cfg: Config,
-               index: FMIndex | None = None) -> EngineOutput:
+               index: FMIndex | None = None, mesh=None) -> EngineOutput:
     t0 = time.perf_counter()
     rtext, rstarts = ref_set.with_separators()
     if index is None:
@@ -77,7 +77,7 @@ def run_engine(ref_set: FastaSet, query_set: FastaSet, cfg: Config,
             if rev:
                 qcodes = revcomp_codes(qcodes)
             qbp += len(qcodes)
-            m = _search_one(index, qcodes, cfg)
+            m = _search_one(index, qcodes, cfg, mesh=mesh)
             order = np.lexsort((m.refpos, m.qpos))
             refpos, qpos, length = m.refpos[order], m.qpos[order], m.length[order]
             seq_id, local = ref_set.locate_in_text(refpos, rstarts)

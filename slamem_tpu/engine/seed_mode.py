@@ -103,19 +103,11 @@ def seed_intervals(refk: jax.Array, qk: jax.Array, qvalid: jax.Array
     return lo.astype(jnp.int64), width.astype(jnp.int64)
 
 
-@functools.partial(jax.jit, static_argnames=("capacity",))
-def expand_and_sort(sa: jax.Array, refvalid: jax.Array, lo: jax.Array,
-                    width: jax.Array, qpos0: jax.Array, diag_mod: jax.Array,
-                    capacity: int) -> jax.Array:
-    """Expand one block of intervals into sorted packed (diag, qpos) keys.
-
-    All shapes static: ragged expansion is done by inverting the cumulative
-    width with a searchsorted over slot ids; slots beyond the block's total
-    and pairs whose ref window is invalid become int64-max sentinels that
-    sort to the tail. key = (refpos - qpos + m) * diag_mod + qpos, chosen so
-    consecutive qpos on one diagonal differ by exactly 1 and diagonals never
-    alias (diag_mod > max qpos + 1).
-    """
+def _expand_sort_core(sa: jax.Array, refvalid: jax.Array, lo: jax.Array,
+                      width: jax.Array, qpos0: jax.Array, diag_mod: jax.Array,
+                      capacity: int) -> jax.Array:
+    """Expansion+sort body, shared by the jitted single-device path and the
+    shard_map distributed path (dist/seed.py)."""
     ends = jnp.cumsum(width)
     slot = jnp.arange(capacity, dtype=jnp.int64)
     seg = jnp.searchsorted(ends, slot, side="right")
@@ -129,6 +121,23 @@ def expand_and_sort(sa: jax.Array, refvalid: jax.Array, lo: jax.Array,
     m_off = diag_mod // 2  # any value > max qpos keeps diag positive
     key = (refpos - qp + m_off) * diag_mod + qp
     return jnp.sort(jnp.where(ok, key, _I64MAX))
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def expand_and_sort(sa: jax.Array, refvalid: jax.Array, lo: jax.Array,
+                    width: jax.Array, qpos0: jax.Array, diag_mod: jax.Array,
+                    capacity: int) -> jax.Array:
+    """Expand one block of intervals into sorted packed (diag, qpos) keys.
+
+    All shapes static: ragged expansion is done by inverting the cumulative
+    width with a searchsorted over slot ids; slots beyond the block's total
+    and pairs whose ref window is invalid become int64-max sentinels that
+    sort to the tail. key = (refpos - qpos + m_off) * diag_mod + qpos, chosen
+    so consecutive qpos on one diagonal differ by exactly 1 and diagonals
+    never alias (diag_mod > max qpos + 1).
+    """
+    return _expand_sort_core(sa, refvalid, lo, width, qpos0, diag_mod,
+                             capacity)
 
 
 # ---------------------------------------------------------------------------
@@ -211,14 +220,34 @@ class SeedMatches:
     pairs_by_refpos: tuple[np.ndarray, np.ndarray] | None = None
 
 
-def find_seed_matches(index: FMIndex, query_text: np.ndarray,
-                      cfg: Config) -> SeedMatches:
+def _plan_blocks(cum: np.ndarray, m: int, capacity: int,
+                 position_block: int) -> list[tuple[int, int]]:
+    """Slice [0, m) into blocks whose pair totals fit the round capacity."""
+    blocks = []
+    start = 0
+    while start < m:
+        end = int(np.searchsorted(cum, cum[start] + capacity, side="right")) - 1
+        end = min(max(end, start + 1), m, start + position_block)
+        if cum[end] - cum[start] > capacity:  # single position too wide
+            raise NotImplementedError(
+                f"query position {start} has interval width "
+                f"{int(cum[start + 1] - cum[start])} > pair_capacity "
+                f"{capacity}; raise pair_capacity for this input")
+        blocks.append((start, end))
+        start = end
+    return blocks
+
+
+def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
+                      mesh=None) -> SeedMatches:
     """All maximal matches of length >= cfg.min_length (mode filters later).
 
     Host-side planning slices query positions into rounds whose total pair
     count fits cfg.pair_capacity; each round is one fixed-shape device
     dispatch. No silent caps: every interval is expanded across as many
-    rounds as it needs.
+    rounds as it needs. With a mesh, rounds dispatch ndev blocks at a time,
+    data-parallel along the ``q`` axis with the index replicated
+    (dist/seed.py).
     """
     k = cfg.seed_length
     m = int(query_text.shape[0])
@@ -229,34 +258,50 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray,
 
     w_host = np.asarray(width)
     cum = np.concatenate(([0], np.cumsum(w_host)))
-    total_pairs = int(cum[-1])
     diag_mod = np.int64(m + 2)
     capacity = int(cfg.pair_capacity)
 
     want_pairs = cfg.mode.value != "mem"
     batches: list[RunBatch] = []
     pair_chunks: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
-    start = 0
-    while start < m:
-        # widest block with <= capacity pairs and <= position_block positions
-        end = int(np.searchsorted(cum, cum[start] + capacity, side="right")) - 1
-        end = min(max(end, start + 1), m, start + cfg.position_block)
-        if cum[end] - cum[start] > capacity:  # single position too wide
-            raise NotImplementedError(
-                f"query position {start} has interval width "
-                f"{int(w_host[start])} > pair_capacity {capacity}; raise "
-                "pair_capacity for this input")
-        qpos0 = jnp.arange(start, end, dtype=jnp.int64)
-        sorted_keys = expand_and_sort(
-            index.sa, refvalid, lo[start:end], width[start:end], qpos0,
-            diag_mod, capacity)
-        batch = runs_from_sorted_keys(np.asarray(sorted_keys), int(diag_mod),
-                                      k, want_pairs)
+    blocks = _plan_blocks(cum, m, capacity, cfg.position_block)
+
+    def _consume(sorted_keys_host: np.ndarray) -> None:
+        batch = runs_from_sorted_keys(sorted_keys_host, int(diag_mod), k,
+                                      want_pairs)
         if want_pairs and batch.pair_qpos is not None:
             pair_chunks.append(
                 (batch.pair_qpos, batch.pair_refpos, batch.pair_ext))
         batches.append(batch)
-        start = end
+
+    if mesh is None or len(mesh.devices.flat) == 1:
+        for start, end in blocks:
+            qpos0 = jnp.arange(start, end, dtype=jnp.int64)
+            sorted_keys = expand_and_sort(
+                index.sa, refvalid, lo[start:end], width[start:end], qpos0,
+                diag_mod, capacity)
+            _consume(np.asarray(sorted_keys))
+    else:
+        from slamem_tpu.dist.seed import sharded_expand_sort
+
+        ndev = len(mesh.devices.flat)
+        lo_h = np.asarray(lo)
+        for g in range(0, len(blocks), ndev):
+            group = blocks[g:g + ndev]
+            bmax = max(e - s for s, e in group)
+            glo = np.zeros((ndev, bmax), np.int64)
+            gw = np.zeros((ndev, bmax), np.int64)
+            gq0 = np.zeros((ndev, bmax), np.int64)
+            for d, (s, e) in enumerate(group):
+                glo[d, :e - s] = lo_h[s:e]
+                gw[d, :e - s] = w_host[s:e]
+                gq0[d, :e - s] = np.arange(s, e)
+            keys, _total = sharded_expand_sort(
+                mesh, index.sa, refvalid, jnp.asarray(glo), jnp.asarray(gw),
+                jnp.asarray(gq0), jnp.asarray(diag_mod), capacity)
+            keys_h = np.asarray(keys)
+            for d in range(len(group)):
+                _consume(keys_h[d])
 
     runs = merge_runs(batches) if batches else RunBatch(
         np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64))
