@@ -1,0 +1,151 @@
+"""Scan-mode engine: batched backward-search matching statistics + LCP
+shortening — the reference's hot loop (SURVEY.md §3.2), re-shaped for TPU.
+
+The reference walks ONE state machine right-to-left over the query:
+backward-extend with LF/occ lookups, and on failure climb parent LCP
+intervals until the step succeeds. Here thousands of lanes (one per query
+chunk) run that state machine in lockstep under jax.lax control flow:
+
+  * the match depth is CAPPED at L (the minimum match length). The capped
+    state at position i — the SA interval of the longest prefix of
+    q[i:i+L] that occurs in the reference — is a pure function of the L
+    characters ahead, so a lane warming up for L positions before its chunk
+    is EXACT: no saturation repair, no cross-chunk dependence (this is the
+    idiomatic answer to the reference's sequential scan);
+  * shortening uses the branchless PSV/NSV pyramid (kernels/lcp_search.py)
+    instead of the reference's sampled-LCP binary search;
+  * the produced per-position intervals at depth exactly L feed the same
+    pair-expansion / diagonal-run backend as the seed engine
+    (engine/seed_mode.py) — both engines are exact for every L and must
+    produce identical output (tested).
+
+Seed vs scan: the seed frontend does O(log n) int64 probes per position
+against the packed K-mer table (K capped at 31); the scan frontend does O(1)
+amortized rank queries per position and yields depth-L intervals directly,
+which generates strictly fewer candidate pairs when L > seed_length_cap.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slamem_tpu.config import Config
+from slamem_tpu.index.build import FMIndex, rank_batch
+from slamem_tpu.index.lcp import lcp_adjacent
+from slamem_tpu.kernels.lcp_search import LcpPyramid, expand, parent_depth
+
+_pyramid_cache: dict[int, tuple[FMIndex, LcpPyramid]] = {}
+
+
+def get_pyramid(index: FMIndex) -> LcpPyramid:
+    """LCP pyramid for an index, cached (one per live index object)."""
+    key = id(index.sa)
+    hit = _pyramid_cache.get(key)
+    if hit is not None and hit[0].sa is index.sa:
+        return hit[1]
+    lcp = lcp_adjacent(index.text, index.sa)
+    pyr = LcpPyramid.build(lcp)
+    if len(_pyramid_cache) > 4:
+        _pyramid_cache.clear()
+    _pyramid_cache[key] = (index, pyr)
+    return pyr
+
+
+def _backward(index: FMIndex, c: jax.Array, lo: jax.Array, hi: jax.Array):
+    cc = jnp.clip(c, 0, 3)
+    both = jnp.concatenate([lo, hi])
+    occ = rank_batch(index, jnp.concatenate([cc, cc]), both)
+    k = lo.shape[0]
+    base = index.counts[cc]
+    return base + occ[:k], base + occ[k:]
+
+
+@functools.partial(jax.jit, static_argnames=("L", "lane_block"))
+def _scan_lanes(index: FMIndex, pyr: LcpPyramid, qt: jax.Array, L: int,
+                lane_block: int):
+    """Lockstep capped-MS scan; returns (lo, width) at depth L per position."""
+    m = qt.shape[0]
+    n = index.n
+    B = lane_block
+    C = -(-m // B)                      # lanes
+    S = B + L                           # steps per lane (L warmup)
+    lane_start = jnp.arange(C, dtype=jnp.int32) * B
+
+    l0 = jnp.zeros((C,), jnp.int32)
+    r0 = jnp.full((C,), n, jnp.int32)
+    d0 = jnp.zeros((C,), jnp.int32)
+    out_lo = jnp.zeros((m,), jnp.int32)
+    out_w = jnp.zeros((m,), jnp.int32)
+
+    def outer(step, carry):
+        l, r, d, out_lo, out_w = carry
+        i = lane_start + jnp.int32(S - 1 - step)
+        live = (i >= lane_start) & (i < m)
+        c = qt[jnp.clip(i, 0, m - 1)].astype(jnp.int32)
+
+        # pre-expansion: a depth-L state must drop to depth L-1 before the
+        # next prepend so the cap is preserved
+        at_cap = live & (d == jnp.int32(L))
+        el, er = expand(pyr, l, r, jnp.full_like(d, L - 1))
+        l = jnp.where(at_cap, el, l)
+        r = jnp.where(at_cap, er, r)
+        d = jnp.where(at_cap, jnp.int32(L - 1), d)
+
+        def cond(state):
+            return jnp.any(state[3])
+
+        def body(state):
+            l, r, d, pending = state
+            l2, r2 = _backward(index, c, l, r)
+            l2 = l2.astype(jnp.int32)
+            r2 = r2.astype(jnp.int32)
+            ok = (c < 4) & (l2 < r2)
+            succ = pending & ok
+            dead = pending & ~ok & (d == 0)
+            shorten = pending & ~ok & (d > 0)
+            pd = parent_depth(pyr, l, r)
+            sl, sr = expand(pyr, l, r, pd)
+            l = jnp.where(succ, l2, jnp.where(dead, 0, jnp.where(shorten, sl, l)))
+            r = jnp.where(succ, r2, jnp.where(dead, n, jnp.where(shorten, sr, r)))
+            d = jnp.where(succ, d + 1, jnp.where(dead, 0, jnp.where(shorten, pd, d)))
+            pending = shorten
+            return l, r, d, pending
+
+        l, r, d, _ = jax.lax.while_loop(cond, body, (l, r, d, live))
+
+        record = live & (step >= jnp.int32(L))
+        ii = jnp.clip(i, 0, m - 1)
+        out_lo = out_lo.at[ii].set(jnp.where(record, l, out_lo[ii]))
+        w = jnp.where(d == jnp.int32(L), r - l, 0)
+        out_w = out_w.at[ii].set(jnp.where(record, w, out_w[ii]))
+        return l, r, d, out_lo, out_w
+
+    _, _, _, out_lo, out_w = jax.lax.fori_loop(
+        0, S, outer, (l0, r0, d0, out_lo, out_w))
+    return out_lo, out_w
+
+
+def scan_intervals(index: FMIndex, query_text: np.ndarray, L: int,
+                   lane_block: int = 256) -> tuple[jax.Array, jax.Array]:
+    """Per-position SA intervals of q[i:i+L] (width 0 where absent)."""
+    qt = jnp.asarray(query_text, dtype=jnp.uint8)
+    pyr = get_pyramid(index)
+    lo, w = _scan_lanes(index, pyr, qt, L, lane_block)
+    return lo.astype(jnp.int64), w.astype(jnp.int64)
+
+
+def find_scan_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
+                      mesh=None):
+    """Scan frontend + shared pair/run backend (see seed_mode)."""
+    from slamem_tpu.engine import seed_mode
+
+    m = int(query_text.shape[0])
+    L = cfg.min_length
+    lo, width = scan_intervals(index, query_text, L)
+    refvalid = jnp.ones((index.n,), bool)  # FM hits never touch specials
+    return seed_mode.pairs_to_matches(index, lo, width, L, m, cfg, mesh,
+                                      refvalid)

@@ -78,15 +78,27 @@ def packed_kmers(text: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     return acc, valid
 
 
+_seed_table_cache: dict[tuple[int, int], tuple] = {}
+
+
 def seed_table(index: FMIndex, k: int) -> tuple[jax.Array, jax.Array]:
     """(refk, refvalid): packed K-mers in SA order + per-position validity.
 
     refk is non-decreasing (argued in packed_kmers), so sorted search against
     it yields the SA interval of any ACGT K-mer. Entries whose window touches
     a special are placeholders filtered via refvalid at pair expansion.
+    Cached per (index, k): one build serves every query sequence/strand.
     """
+    key = (id(index.sa), k)
+    hit = _seed_table_cache.get(key)
+    if hit is not None and hit[0] is index.sa:
+        return hit[1], hit[2]
     packed, valid = packed_kmers(index.text, k)
-    return packed[index.sa], valid
+    refk = packed[index.sa]
+    if len(_seed_table_cache) > 8:
+        _seed_table_cache.clear()
+    _seed_table_cache[key] = (index.sa, refk, valid)
+    return refk, valid
 
 
 # ---------------------------------------------------------------------------
@@ -121,6 +133,56 @@ def _expand_sort_core(sa: jax.Array, refvalid: jax.Array, lo: jax.Array,
     m_off = diag_mod // 2  # any value > max qpos keeps diag positive
     key = (refpos - qp + m_off) * diag_mod + qp
     return jnp.sort(jnp.where(ok, key, _I64MAX))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def query_frontend(refk: jax.Array, qt: jax.Array, k: int):
+    """Fused packing + sorted search: one device dispatch per query."""
+    qk, qvalid = packed_kmers(qt, k)
+    lo = jnp.searchsorted(refk, qk, side="left")
+    hi = jnp.searchsorted(refk, qk, side="right")
+    width = jnp.where(qvalid, hi - lo, 0)
+    return lo.astype(jnp.int64), width.astype(jnp.int64)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "run_capacity"))
+def expand_to_runs(sa: jax.Array, refvalid: jax.Array, lo: jax.Array,
+                   width: jax.Array, qpos0: jax.Array, diag_mod: jax.Array,
+                   capacity: int, run_capacity: int):
+    """Expansion + sort + ON-DEVICE run compaction (MEM-mode fast path).
+
+    Only run boundary keys leave the device (2 * run_capacity int64 instead
+    of `capacity`), which matters on tunneled backends where host transfers
+    dominate. Returns (start_keys, end_keys, n_runs, n_pairs); n_runs >
+    run_capacity signals overflow and the caller falls back to the full-key
+    path for that block.
+    """
+    keys = _expand_sort_core(sa, refvalid, lo, width, qpos0, diag_mod,
+                             capacity)
+    valid = keys != _I64MAX
+    prev = jnp.concatenate([jnp.full((1,), -2, jnp.int64), keys[:-1]])
+    nxt = jnp.concatenate([keys[1:], jnp.full((1,), -2, jnp.int64)])
+    is_start = valid & (keys != prev + 1)
+    is_end = valid & (keys != nxt - 1)
+    ridx = jnp.cumsum(is_start) - 1
+    drop = jnp.int64(run_capacity)
+    starts = jnp.full((run_capacity,), -1, jnp.int64).at[
+        jnp.where(is_start, ridx, drop)].set(keys, mode="drop")
+    ends = jnp.full((run_capacity,), -1, jnp.int64).at[
+        jnp.where(is_end, ridx, drop)].set(keys, mode="drop")
+    return starts, ends, jnp.sum(is_start), jnp.sum(valid)
+
+
+def runs_from_compacted(starts: np.ndarray, ends: np.ndarray, n_runs: int,
+                        diag_mod: int) -> RunBatch:
+    """Decode device-compacted run boundary keys into a RunBatch."""
+    s = starts[:n_runs]
+    e = ends[:n_runs]
+    m_off = diag_mod // 2
+    qstart = s % diag_mod
+    diag = s // diag_mod - m_off
+    qend = e % diag_mod
+    return RunBatch(diag, qstart, qend)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
@@ -242,20 +304,33 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                       mesh=None) -> SeedMatches:
     """All maximal matches of length >= cfg.min_length (mode filters later).
 
-    Host-side planning slices query positions into rounds whose total pair
-    count fits cfg.pair_capacity; each round is one fixed-shape device
-    dispatch. No silent caps: every interval is expanded across as many
-    rounds as it needs. With a mesh, rounds dispatch ndev blocks at a time,
-    data-parallel along the ``q`` axis with the index replicated
-    (dist/seed.py).
+    Seed frontend: packed K-mer sorted search yields per-position intervals
+    at depth K = min(L, seed_length_cap); the shared backend does the rest.
     """
     k = cfg.seed_length
     m = int(query_text.shape[0])
     qt = jnp.asarray(query_text, dtype=jnp.uint8)
     refk, refvalid = seed_table(index, k)
-    qk, qvalid = packed_kmers(qt, k)
-    lo, width = seed_intervals(refk, qk, qvalid)
+    lo, width = query_frontend(refk, qt, k)
+    return pairs_to_matches(index, lo, width, k, m, cfg, mesh, refvalid)
 
+
+def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
+                     m: int, cfg: Config, mesh=None,
+                     refvalid: jax.Array | None = None) -> SeedMatches:
+    """Shared backend: intervals at depth k -> maximal matches >= min_length.
+
+    Host-side planning slices query positions into rounds whose total pair
+    count fits cfg.pair_capacity; each round is one fixed-shape device
+    dispatch. No silent caps: every interval is expanded across as many
+    rounds as it needs. With a mesh, rounds dispatch ndev blocks at a time,
+    data-parallel along the ``q`` axis with the index replicated
+    (dist/seed.py). Works for any k <= min_length: runs of consecutive
+    depth-k pairs on one diagonal ARE the maximal matches, and the final
+    filter keeps lengths >= min_length.
+    """
+    if refvalid is None:
+        refvalid = jnp.ones((index.n,), bool)
     w_host = np.asarray(width)
     cum = np.concatenate(([0], np.cumsum(w_host)))
     diag_mod = np.int64(m + 2)
@@ -275,8 +350,18 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
         batches.append(batch)
 
     if mesh is None or len(mesh.devices.flat) == 1:
+        run_cap = max(4096, capacity // 16)
         for start, end in blocks:
             qpos0 = jnp.arange(start, end, dtype=jnp.int64)
+            if not want_pairs:
+                starts, ends, n_runs, _np_ = expand_to_runs(
+                    index.sa, refvalid, lo[start:end], width[start:end],
+                    qpos0, diag_mod, capacity, run_cap)
+                if int(n_runs) <= run_cap:
+                    batches.append(runs_from_compacted(
+                        np.asarray(starts), np.asarray(ends), int(n_runs),
+                        int(diag_mod)))
+                    continue
             sorted_keys = expand_and_sort(
                 index.sa, refvalid, lo[start:end], width[start:end], qpos0,
                 diag_mod, capacity)

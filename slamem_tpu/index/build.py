@@ -73,12 +73,8 @@ def initial_ranks(text: jax.Array) -> jax.Array:
     return jnp.where(text >= CODE_N, pos, n + text.astype(jnp.int64))
 
 
-@jax.jit
-def _doubling_round(rank: jax.Array, k: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """One prefix-doubling round: ranks by 2k chars from ranks by k chars.
-
-    ``k`` is traced (not static) so the round compiles once per text length.
-    """
+def _round_body(rank: jax.Array, k: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """One prefix-doubling round: ranks by 2k chars from ranks by k chars."""
     n = rank.shape[0]
     # rank of the suffix k ahead; suffixes shorter than k compare smallest
     ahead = jnp.arange(n, dtype=jnp.int64) + k
@@ -93,6 +89,36 @@ def _doubling_round(rank: jax.Array, k: jax.Array) -> tuple[jax.Array, jax.Array
     new_rank_sorted = jnp.cumsum(is_new)
     new_rank = jnp.zeros((n,), jnp.int64).at[order].set(new_rank_sorted)
     return new_rank, new_rank_sorted[-1]
+
+
+@jax.jit
+def _doubling_round(rank: jax.Array, k: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Single jitted round — kept for LCP construction (index/lcp.py)."""
+    return _round_body(rank, k)
+
+
+@jax.jit
+def _doubling_all(rank: jax.Array) -> jax.Array:
+    """All doubling rounds in ONE device program (lax.while_loop).
+
+    A host-synced loop costs one device<->host round trip per round, which
+    dominates build time on tunneled/remote TPU backends (seconds per trip);
+    on-device control flow makes the whole SA build a single dispatch.
+    """
+    n = rank.shape[0]
+
+    def cond(carry):
+        return jnp.logical_not(carry[2])
+
+    def body(carry):
+        rank, k, _ = carry
+        new_rank, max_rank = _round_body(rank, k)
+        done = (max_rank == n - 1) | (k >= n)
+        return new_rank, k * 2, done
+
+    rank, _, _ = jax.lax.while_loop(
+        cond, body, (rank, jnp.int64(1), jnp.bool_(n <= 1)))
+    return rank
 
 
 def _padded_size(n: int) -> int:
@@ -127,13 +153,7 @@ def suffix_array(text: jax.Array) -> jax.Array:
     np_ = _padded_size(n)
     padded = jnp.concatenate(
         [text, jnp.full((np_ - n,), 5, jnp.uint8)]) if np_ > n else text
-    rank = initial_ranks(padded)
-    k = 1
-    while True:
-        rank, max_rank = _doubling_round(rank, jnp.int64(k))
-        if int(max_rank) == np_ - 1 or k >= np_:
-            break
-        k *= 2
+    rank = _doubling_all(initial_ranks(padded))
     return jnp.argsort(rank[:n]).astype(jnp.int32)
 
 
