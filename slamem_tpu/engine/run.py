@@ -45,7 +45,13 @@ class EngineOutput:
 def _search_one(index: FMIndex, qcodes: np.ndarray, cfg: Config,
                 mesh=None) -> seed_mode.SeedMatches:
     if cfg.engine == "seed":
-        matches = seed_mode.find_seed_matches(index, qcodes, cfg, mesh=mesh)
+        if cfg.shard_index and mesh is not None and cfg.mode.value == "mem":
+            from slamem_tpu.dist.sharded import find_seed_matches_sharded
+
+            matches = find_seed_matches_sharded(index, qcodes, cfg, mesh)
+        else:
+            matches = seed_mode.find_seed_matches(index, qcodes, cfg,
+                                                  mesh=mesh)
     elif cfg.engine == "scan":
         from slamem_tpu.engine import scan_mode
 

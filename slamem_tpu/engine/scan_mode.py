@@ -146,6 +146,6 @@ def find_scan_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     m = int(query_text.shape[0])
     L = cfg.min_length
     lo, width = scan_intervals(index, query_text, L)
-    refvalid = jnp.ones((index.n,), bool)  # FM hits never touch specials
+    rowvalid = jnp.ones((index.n,), bool)  # FM hits never touch specials
     return seed_mode.pairs_to_matches(index, lo, width, L, m, cfg, mesh,
-                                      refvalid)
+                                      rowvalid)

@@ -85,9 +85,10 @@ def seed_table(index: FMIndex, k: int) -> tuple[jax.Array, jax.Array]:
     """(refk, refvalid): packed K-mers in SA order + per-position validity.
 
     refk is non-decreasing (argued in packed_kmers), so sorted search against
-    it yields the SA interval of any ACGT K-mer. Entries whose window touches
-    a special are placeholders filtered via refvalid at pair expansion.
-    Cached per (index, k): one build serves every query sequence/strand.
+    it yields the SA interval of any ACGT K-mer. Rows whose window touches a
+    special are placeholders filtered via the row-indexed validity at pair
+    expansion. Cached per (index, k): one build serves every query
+    sequence/strand.
     """
     key = (id(index.sa), k)
     hit = _seed_table_cache.get(key)
@@ -95,10 +96,11 @@ def seed_table(index: FMIndex, k: int) -> tuple[jax.Array, jax.Array]:
         return hit[1], hit[2]
     packed, valid = packed_kmers(index.text, k)
     refk = packed[index.sa]
+    rowvalid = valid[index.sa]
     if len(_seed_table_cache) > 8:
         _seed_table_cache.clear()
-    _seed_table_cache[key] = (index.sa, refk, valid)
-    return refk, valid
+    _seed_table_cache[key] = (index.sa, refk, rowvalid)
+    return refk, rowvalid
 
 
 # ---------------------------------------------------------------------------
@@ -115,11 +117,15 @@ def seed_intervals(refk: jax.Array, qk: jax.Array, qvalid: jax.Array
     return lo.astype(jnp.int64), width.astype(jnp.int64)
 
 
-def _expand_sort_core(sa: jax.Array, refvalid: jax.Array, lo: jax.Array,
+def _expand_sort_core(sa: jax.Array, rowvalid: jax.Array, lo: jax.Array,
                       width: jax.Array, qpos0: jax.Array, diag_mod: jax.Array,
                       capacity: int) -> jax.Array:
     """Expansion+sort body, shared by the jitted single-device path and the
-    shard_map distributed path (dist/seed.py)."""
+    shard_map distributed paths (dist/seed.py, dist/sharded.py).
+
+    ``rowvalid`` is indexed by SA ROW (validity of the ref window starting at
+    sa[row]), not by text position — row-indexed data shards alongside the
+    SA slabs in the sharded-index path."""
     ends = jnp.cumsum(width)
     slot = jnp.arange(capacity, dtype=jnp.int64)
     seg = jnp.searchsorted(ends, slot, side="right")
@@ -129,7 +135,7 @@ def _expand_sort_core(sa: jax.Array, refvalid: jax.Array, lo: jax.Array,
     sa_idx = jnp.clip(lo[seg_c] + t, 0, sa.shape[0] - 1)
     refpos = sa[sa_idx].astype(jnp.int64)
     qp = qpos0[seg_c]
-    ok = in_range & refvalid[refpos]
+    ok = in_range & rowvalid[sa_idx]
     m_off = diag_mod // 2  # any value > max qpos keeps diag positive
     key = (refpos - qp + m_off) * diag_mod + qp
     return jnp.sort(jnp.where(ok, key, _I64MAX))
@@ -146,7 +152,7 @@ def query_frontend(refk: jax.Array, qt: jax.Array, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "run_capacity"))
-def expand_to_runs(sa: jax.Array, refvalid: jax.Array, lo: jax.Array,
+def expand_to_runs(sa: jax.Array, rowvalid: jax.Array, lo: jax.Array,
                    width: jax.Array, qpos0: jax.Array, diag_mod: jax.Array,
                    capacity: int, run_capacity: int):
     """Expansion + sort + ON-DEVICE run compaction (MEM-mode fast path).
@@ -157,7 +163,7 @@ def expand_to_runs(sa: jax.Array, refvalid: jax.Array, lo: jax.Array,
     run_capacity signals overflow and the caller falls back to the full-key
     path for that block.
     """
-    keys = _expand_sort_core(sa, refvalid, lo, width, qpos0, diag_mod,
+    keys = _expand_sort_core(sa, rowvalid, lo, width, qpos0, diag_mod,
                              capacity)
     valid = keys != _I64MAX
     prev = jnp.concatenate([jnp.full((1,), -2, jnp.int64), keys[:-1]])
@@ -186,7 +192,7 @@ def runs_from_compacted(starts: np.ndarray, ends: np.ndarray, n_runs: int,
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
-def expand_and_sort(sa: jax.Array, refvalid: jax.Array, lo: jax.Array,
+def expand_and_sort(sa: jax.Array, rowvalid: jax.Array, lo: jax.Array,
                     width: jax.Array, qpos0: jax.Array, diag_mod: jax.Array,
                     capacity: int) -> jax.Array:
     """Expand one block of intervals into sorted packed (diag, qpos) keys.
@@ -198,7 +204,7 @@ def expand_and_sort(sa: jax.Array, refvalid: jax.Array, lo: jax.Array,
     so consecutive qpos on one diagonal differ by exactly 1 and diagonals
     never alias (diag_mod > max qpos + 1).
     """
-    return _expand_sort_core(sa, refvalid, lo, width, qpos0, diag_mod,
+    return _expand_sort_core(sa, rowvalid, lo, width, qpos0, diag_mod,
                              capacity)
 
 
@@ -310,14 +316,14 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     k = cfg.seed_length
     m = int(query_text.shape[0])
     qt = jnp.asarray(query_text, dtype=jnp.uint8)
-    refk, refvalid = seed_table(index, k)
+    refk, rowvalid = seed_table(index, k)
     lo, width = query_frontend(refk, qt, k)
-    return pairs_to_matches(index, lo, width, k, m, cfg, mesh, refvalid)
+    return pairs_to_matches(index, lo, width, k, m, cfg, mesh, rowvalid)
 
 
 def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                      m: int, cfg: Config, mesh=None,
-                     refvalid: jax.Array | None = None) -> SeedMatches:
+                     rowvalid: jax.Array | None = None) -> SeedMatches:
     """Shared backend: intervals at depth k -> maximal matches >= min_length.
 
     Host-side planning slices query positions into rounds whose total pair
@@ -329,8 +335,8 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
     depth-k pairs on one diagonal ARE the maximal matches, and the final
     filter keeps lengths >= min_length.
     """
-    if refvalid is None:
-        refvalid = jnp.ones((index.n,), bool)
+    if rowvalid is None:
+        rowvalid = jnp.ones((index.n,), bool)
     w_host = np.asarray(width)
     cum = np.concatenate(([0], np.cumsum(w_host)))
     diag_mod = np.int64(m + 2)
@@ -355,7 +361,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
             qpos0 = jnp.arange(start, end, dtype=jnp.int64)
             if not want_pairs:
                 starts, ends, n_runs, _np_ = expand_to_runs(
-                    index.sa, refvalid, lo[start:end], width[start:end],
+                    index.sa, rowvalid, lo[start:end], width[start:end],
                     qpos0, diag_mod, capacity, run_cap)
                 if int(n_runs) <= run_cap:
                     batches.append(runs_from_compacted(
@@ -363,7 +369,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                         int(diag_mod)))
                     continue
             sorted_keys = expand_and_sort(
-                index.sa, refvalid, lo[start:end], width[start:end], qpos0,
+                index.sa, rowvalid, lo[start:end], width[start:end], qpos0,
                 diag_mod, capacity)
             _consume(np.asarray(sorted_keys))
     else:
@@ -382,7 +388,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                 gw[d, :e - s] = w_host[s:e]
                 gq0[d, :e - s] = np.arange(s, e)
             keys, _total = sharded_expand_sort(
-                mesh, index.sa, refvalid, jnp.asarray(glo), jnp.asarray(gw),
+                mesh, index.sa, rowvalid, jnp.asarray(glo), jnp.asarray(gw),
                 jnp.asarray(gq0), jnp.asarray(diag_mod), capacity)
             keys_h = np.asarray(keys)
             for d in range(len(group)):

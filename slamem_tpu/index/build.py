@@ -67,27 +67,34 @@ class FMIndex:
 
 
 def initial_ranks(text: jax.Array) -> jax.Array:
-    """Round-0 suffix ranks: unique-per-position for specials, below ACGT."""
+    """Round-0 suffix ranks: unique-per-position for specials, below ACGT.
+
+    int32 throughout (n < 2^31); only the packed sort key is int64. Narrow
+    ranks halve both HBM footprint and the VMEM scan buffers of the rank
+    densification cumsum (the 5M+ build blew the 16M scoped-vmem limit with
+    64-bit scans).
+    """
     n = text.shape[0]
-    pos = jnp.arange(n, dtype=jnp.int64)
-    return jnp.where(text >= CODE_N, pos, n + text.astype(jnp.int64))
+    pos = jnp.arange(n, dtype=jnp.int32)
+    return jnp.where(text >= CODE_N, pos, n + text.astype(jnp.int32))
 
 
 def _round_body(rank: jax.Array, k: jax.Array) -> tuple[jax.Array, jax.Array]:
     """One prefix-doubling round: ranks by 2k chars from ranks by k chars."""
     n = rank.shape[0]
     # rank of the suffix k ahead; suffixes shorter than k compare smallest
-    ahead = jnp.arange(n, dtype=jnp.int64) + k
-    rank_k = jnp.where(ahead < n, rank[jnp.clip(ahead, max=n - 1)], -1)
+    ahead = jnp.arange(n, dtype=jnp.int32) + k
+    rank_k = jnp.where(ahead < n, rank[jnp.clip(ahead, max=n - 1)],
+                       jnp.int32(-1))
     base = jnp.int64(n + 5)
-    key = rank * base + (rank_k + 1)
+    key = rank.astype(jnp.int64) * base + (rank_k.astype(jnp.int64) + 1)
     order = jnp.argsort(key)
     sorted_key = key[order]
     is_new = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int64),
-         (sorted_key[1:] != sorted_key[:-1]).astype(jnp.int64)])
+        [jnp.zeros((1,), jnp.int32),
+         (sorted_key[1:] != sorted_key[:-1]).astype(jnp.int32)])
     new_rank_sorted = jnp.cumsum(is_new)
-    new_rank = jnp.zeros((n,), jnp.int64).at[order].set(new_rank_sorted)
+    new_rank = jnp.zeros((n,), jnp.int32).at[order].set(new_rank_sorted)
     return new_rank, new_rank_sorted[-1]
 
 
@@ -117,7 +124,7 @@ def _doubling_all(rank: jax.Array) -> jax.Array:
         return new_rank, k * 2, done
 
     rank, _, _ = jax.lax.while_loop(
-        cond, body, (rank, jnp.int64(1), jnp.bool_(n <= 1)))
+        cond, body, (rank, jnp.int32(1), jnp.bool_(n <= 1)))
     return rank
 
 

@@ -35,7 +35,7 @@ def _rank_rounds(text: jax.Array) -> list[jax.Array]:
     rounds = [rank]
     k = 1
     while True:
-        rank, max_rank = _doubling_round(rank, jnp.int64(k))
+        rank, max_rank = _doubling_round(rank, jnp.int32(k))
         rounds.append(rank)
         if int(max_rank) == n - 1 or k >= n:
             break

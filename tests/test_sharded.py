@@ -1,0 +1,45 @@
+"""SA-rank-sharded index tests (BASELINE config #5) on the fake CPU mesh."""
+
+import numpy as np
+import pytest
+
+from slamem_tpu.config import Config, MatchMode
+from slamem_tpu.dist.mesh import make_mesh
+from slamem_tpu.dist.sharded import find_seed_matches_sharded
+from slamem_tpu.engine.seed_mode import find_seed_matches
+from slamem_tpu.index.build import build_index
+from slamem_tpu.utils.synth import mutate, random_genome, with_n_runs
+
+
+def tuples(m):
+    return sorted(zip(m.refpos.tolist(), m.qpos.tolist(), m.length.tolist()))
+
+
+def test_sharded_equals_replicated():
+    ref = with_n_runs(random_genome(4000, seed=81), 2, 40, seed=82)
+    qry = with_n_runs(mutate(ref, 0.02, 0.002, seed=83), 2, 30, seed=84)
+    cfg = Config(min_length=14, pair_capacity=512)
+    idx = build_index(ref)
+    mesh = make_mesh(8)
+    got = tuples(find_seed_matches_sharded(idx, qry, cfg, mesh))
+    want = tuples(find_seed_matches(idx, qry, cfg))
+    assert got == want and len(want) > 0
+
+
+def test_sharded_run_across_slab_boundary():
+    # an identical pair → one giant match whose SA rows spread over all slabs
+    ref = random_genome(2000, seed=85)
+    qry = ref.copy()
+    cfg = Config(min_length=1500)
+    idx = build_index(ref)
+    mesh = make_mesh(8)
+    got = tuples(find_seed_matches_sharded(idx, qry, cfg, mesh))
+    assert got == [(0, 0, 2000)]
+
+
+def test_sharded_rejects_unique_modes():
+    idx = build_index(random_genome(500, seed=86))
+    mesh = make_mesh(8)
+    with pytest.raises(NotImplementedError):
+        find_seed_matches_sharded(idx, np.zeros(100, np.uint8),
+                                  Config(mode=MatchMode.MUM), mesh)
