@@ -25,21 +25,28 @@ except AttributeError:  # pragma: no cover
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mesh", "capacity", "all_gather_keys"))
-def sharded_expand_sort(mesh: Mesh, sa: jax.Array, refvalid: jax.Array,
-                        lo: jax.Array, width: jax.Array, qpos0: jax.Array,
-                        diag_mod: jax.Array, capacity: int,
+                   static_argnames=("mesh", "capacity", "block",
+                                    "all_gather_keys"))
+def sharded_expand_sort(mesh: Mesh, sa: jax.Array, rowvalid: jax.Array,
+                        lo_ext: jax.Array, w_ext: jax.Array,
+                        starts: jax.Array, limits: jax.Array,
+                        diag_mod: jax.Array, capacity: int, block: int,
                         all_gather_keys: bool = False):
-    """Expand ndev blocks at once: [ndev, B] inputs -> [ndev, capacity] keys.
+    """Expand ndev fixed-size blocks at once -> [ndev, capacity] keys.
 
+    lo_ext/w_ext are the full (block-padded) interval arrays, replicated;
+    each shard receives only its (start, limit) scalars and slices its block
+    inside the program — fixed shapes, one compile, near-zero host traffic.
     With all_gather_keys=True every shard also receives the full key set
     (the BASELINE "hits merged via all_gather before emission" path used in
     multi-host runs where only host 0 formats output); the psum'd total pair
     count always rides along as the cross-shard statistic.
     """
+    from slamem_tpu.engine.seed_mode import _expand_block_core
 
-    def step(sa, rv, lo, w, q0, dmod):
-        keys = _expand_sort_core(sa, rv, lo[0], w[0], q0[0], dmod, capacity)
+    def step(sa, rv, lo, w, st, lim, dmod):
+        keys = _expand_block_core(sa, rv, lo, w, st[0], lim[0], dmod,
+                                  capacity, block)
         count = jnp.sum(keys != _I64MAX)
         total = jax.lax.psum(count, "q")
         if all_gather_keys:
@@ -51,9 +58,9 @@ def sharded_expand_sort(mesh: Mesh, sa: jax.Array, refvalid: jax.Array,
                  if all_gather_keys else (P("q", None), P("q")))
     fn = shard_map(
         step, mesh=mesh,
-        in_specs=(P(), P(), P("q", None), P("q", None), P("q", None), P()),
+        in_specs=(P(), P(), P(), P(), P("q"), P("q"), P()),
         out_specs=out_specs)
-    return fn(sa, refvalid, lo, width, qpos0, diag_mod)
+    return fn(sa, rowvalid, lo_ext, w_ext, starts, limits, diag_mod)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "capacity"))

@@ -80,22 +80,27 @@ def sharded_frontend(mesh: Mesh, refk_sh: jax.Array, qt: jax.Array, k: int):
     return fn(refk_sh, qt)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "capacity"))
-def sharded_expand(mesh: Mesh, sa_sh, rv_sh, lo_blk, w_blk, qpos0, diag_mod,
-                   capacity: int):
-    """Each shard expands its local interval parts for one position block."""
+@functools.partial(jax.jit, static_argnames=("mesh", "capacity", "block"))
+def sharded_expand(mesh: Mesh, sa_sh, rv_sh, lo_sh, w_sh, start, limit,
+                   diag_mod, capacity: int, block: int):
+    """Each shard expands its local interval parts for one position block.
 
-    def step(sa_l, rv_l, lo_l, w_l, q0, dmod):
-        keys = _expand_sort_core(sa_l[0], rv_l[0], lo_l[0], w_l[0], q0, dmod,
-                                 capacity)
+    Fixed shapes: full per-shard interval arrays stay on device; the block
+    is selected inside the program from (start, limit) scalars.
+    """
+    from slamem_tpu.engine.seed_mode import _expand_block_core
+
+    def step(sa_l, rv_l, lo_l, w_l, st, lim, dmod):
+        keys = _expand_block_core(sa_l[0], rv_l[0], lo_l[0], w_l[0], st, lim,
+                                  dmod, capacity, block)
         return keys[None]
 
     fn = shard_map(
         step, mesh=mesh,
         in_specs=(P("q", None), P("q", None), P("q", None), P("q", None),
-                  P(), P()),
+                  P(), P(), P()),
         out_specs=P("q", None))
-    return fn(sa_sh, rv_sh, lo_blk, w_blk, qpos0, diag_mod)
+    return fn(sa_sh, rv_sh, lo_sh, w_sh, start, limit, diag_mod)
 
 
 def find_seed_matches_sharded(index: FMIndex, query_text: np.ndarray,
@@ -110,8 +115,9 @@ def find_seed_matches_sharded(index: FMIndex, query_text: np.ndarray,
             "sharded index currently supports MEM mode; MUM/MAM run on the "
             "replicated-index path")
     k = cfg.seed_length
-    m = int(query_text.shape[0])
-    qt = jnp.asarray(query_text, dtype=jnp.uint8)
+    qp = seed_mode.pad_query(query_text)
+    m = int(qp.shape[0])
+    qt = jnp.asarray(qp)
     refk_sh, sa_sh, rv_sh = shard_tables(index, k, mesh)
     lo_l, w_l, w_max = sharded_frontend(mesh, refk_sh, qt, k)
 
@@ -119,15 +125,21 @@ def find_seed_matches_sharded(index: FMIndex, query_text: np.ndarray,
     wmax_host = np.asarray(w_max)
     cum = np.concatenate(([0], np.cumsum(wmax_host)))
     capacity = int(cfg.pair_capacity)
-    blocks = seed_mode._plan_blocks(cum, m, capacity, cfg.position_block)
-    diag_mod = np.int64(m + 2)
+    block = min(cfg.position_block, m)
+    blocks = seed_mode._plan_blocks(cum, m, capacity, block)
+    diag_mod = np.int64(m + block + 2)
+
+    ndev = len(mesh.devices.flat)
+    zpad = jnp.zeros((ndev, block), jnp.int64)
+    lo_ext = jnp.concatenate([lo_l, zpad], axis=1)
+    w_ext = jnp.concatenate([w_l, zpad], axis=1)
 
     batches: list[RunBatch] = []
     for start, end in blocks:
-        qpos0 = jnp.arange(start, end, dtype=jnp.int64)
-        keys = sharded_expand(mesh, sa_sh, rv_sh, lo_l[:, start:end],
-                              w_l[:, start:end], qpos0,
-                              jnp.asarray(diag_mod), capacity)
+        keys = sharded_expand(mesh, sa_sh, rv_sh, lo_ext, w_ext,
+                              jnp.asarray(start, jnp.int64),
+                              jnp.asarray(end, jnp.int64),
+                              jnp.asarray(diag_mod), capacity, block)
         merged = np.sort(np.asarray(keys).ravel())
         batches.append(runs_from_sorted_keys(merged, int(diag_mod), k,
                                              want_pairs=False))

@@ -165,13 +165,17 @@ def expand_to_runs(sa: jax.Array, rowvalid: jax.Array, lo: jax.Array,
     """
     keys = _expand_sort_core(sa, rowvalid, lo, width, qpos0, diag_mod,
                              capacity)
+    return _compact_runs(keys, run_capacity)
+
+
+def _compact_runs(keys: jax.Array, run_capacity: int):
     valid = keys != _I64MAX
     prev = jnp.concatenate([jnp.full((1,), -2, jnp.int64), keys[:-1]])
     nxt = jnp.concatenate([keys[1:], jnp.full((1,), -2, jnp.int64)])
     is_start = valid & (keys != prev + 1)
     is_end = valid & (keys != nxt - 1)
-    ridx = jnp.cumsum(is_start) - 1
-    drop = jnp.int64(run_capacity)
+    ridx = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    drop = jnp.int32(run_capacity)
     starts = jnp.full((run_capacity,), -1, jnp.int64).at[
         jnp.where(is_start, ridx, drop)].set(keys, mode="drop")
     ends = jnp.full((run_capacity,), -1, jnp.int64).at[
@@ -206,6 +210,40 @@ def expand_and_sort(sa: jax.Array, rowvalid: jax.Array, lo: jax.Array,
     """
     return _expand_sort_core(sa, rowvalid, lo, width, qpos0, diag_mod,
                              capacity)
+
+
+def _expand_block_core(sa, rowvalid, lo_full, w_full, start, limit, diag_mod,
+                       capacity: int, block: int):
+    """Fixed-shape block expansion: slice [start, start+block) inside the
+    program (lax.dynamic_slice) so every round reuses ONE compilation —
+    variable host-side slicing used to trigger a multi-minute XLA compile
+    per round on remote backends. Positions >= limit contribute nothing
+    (the planner's true block end); callers pre-pad lo/w by `block` zeros so
+    the slice never clamps."""
+    lo = jax.lax.dynamic_slice(lo_full, (start,), (block,))
+    w = jax.lax.dynamic_slice(w_full, (start,), (block,))
+    qpos0 = start.astype(jnp.int64) + jnp.arange(block, dtype=jnp.int64)
+    w = jnp.where(qpos0 < limit, w, 0)
+    return _expand_sort_core(sa, rowvalid, lo, w, qpos0, diag_mod, capacity)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("capacity", "run_capacity", "block"))
+def expand_block_to_runs(sa, rowvalid, lo_full, w_full, start, limit,
+                         diag_mod, capacity: int, run_capacity: int,
+                         block: int):
+    """Fixed-shape variant of expand_to_runs (MEM fast path)."""
+    keys = _expand_block_core(sa, rowvalid, lo_full, w_full, start, limit,
+                              diag_mod, capacity, block)
+    return _compact_runs(keys, run_capacity)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "block"))
+def expand_block_and_sort(sa, rowvalid, lo_full, w_full, start, limit,
+                          diag_mod, capacity: int, block: int):
+    """Fixed-shape variant of expand_and_sort (full-key path)."""
+    return _expand_block_core(sa, rowvalid, lo_full, w_full, start, limit,
+                              diag_mod, capacity, block)
 
 
 # ---------------------------------------------------------------------------
@@ -306,19 +344,42 @@ def _plan_blocks(cum: np.ndarray, m: int, capacity: int,
     return blocks
 
 
+def query_bucket(m: int) -> int:
+    """Pad query lengths to buckets so jits compile once per bucket."""
+    if m <= 1 << 16:
+        p = 1 << 10
+        while p < m:
+            p <<= 1
+        return p
+    block = 1 << 16
+    return -(-m // block) * block
+
+
+def pad_query(query_text: np.ndarray) -> np.ndarray:
+    """Pad with N codes: padded windows are invalid, so zero extra matches."""
+    m = int(query_text.shape[0])
+    m_p = query_bucket(m)
+    if m_p == m:
+        return np.asarray(query_text, np.uint8)
+    return np.concatenate([np.asarray(query_text, np.uint8),
+                           np.full(m_p - m, CODE_N, np.uint8)])
+
+
 def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                       mesh=None) -> SeedMatches:
     """All maximal matches of length >= cfg.min_length (mode filters later).
 
     Seed frontend: packed K-mer sorted search yields per-position intervals
     at depth K = min(L, seed_length_cap); the shared backend does the rest.
+    The query is padded to a length bucket (N padding produces no windows)
+    so every stage compiles once per bucket, not per query length.
     """
     k = cfg.seed_length
-    m = int(query_text.shape[0])
-    qt = jnp.asarray(query_text, dtype=jnp.uint8)
+    qp = pad_query(query_text)
+    m_p = int(qp.shape[0])
     refk, rowvalid = seed_table(index, k)
-    lo, width = query_frontend(refk, qt, k)
-    return pairs_to_matches(index, lo, width, k, m, cfg, mesh, rowvalid)
+    lo, width = query_frontend(refk, jnp.asarray(qp), k)
+    return pairs_to_matches(index, lo, width, k, m_p, cfg, mesh, rowvalid)
 
 
 def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
@@ -339,13 +400,19 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
         rowvalid = jnp.ones((index.n,), bool)
     w_host = np.asarray(width)
     cum = np.concatenate(([0], np.cumsum(w_host)))
-    diag_mod = np.int64(m + 2)
     capacity = int(cfg.pair_capacity)
+    block = min(cfg.position_block, m)
+    diag_mod = np.int64(m + block + 2)  # qpos0 can reach m + block - 1
+
+    # pre-pad so in-program dynamic slices never clamp (start <= m)
+    zpad = jnp.zeros((block,), jnp.int64)
+    lo_ext = jnp.concatenate([lo, zpad])
+    w_ext = jnp.concatenate([width, zpad])
 
     want_pairs = cfg.mode.value != "mem"
     batches: list[RunBatch] = []
     pair_chunks: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
-    blocks = _plan_blocks(cum, m, capacity, cfg.position_block)
+    blocks = _plan_blocks(cum, m, capacity, block)
 
     def _consume(sorted_keys_host: np.ndarray) -> None:
         batch = runs_from_sorted_keys(sorted_keys_host, int(diag_mod), k,
@@ -357,39 +424,39 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
 
     if mesh is None or len(mesh.devices.flat) == 1:
         run_cap = max(4096, capacity // 16)
+        dmod = jnp.asarray(diag_mod)
         for start, end in blocks:
-            qpos0 = jnp.arange(start, end, dtype=jnp.int64)
+            st = jnp.asarray(start, jnp.int64)
+            lim = jnp.asarray(end, jnp.int64)
             if not want_pairs:
-                starts, ends, n_runs, _np_ = expand_to_runs(
-                    index.sa, rowvalid, lo[start:end], width[start:end],
-                    qpos0, diag_mod, capacity, run_cap)
+                starts, ends, n_runs, _np_ = expand_block_to_runs(
+                    index.sa, rowvalid, lo_ext, w_ext, st, lim, dmod,
+                    capacity, run_cap, block)
                 if int(n_runs) <= run_cap:
                     batches.append(runs_from_compacted(
                         np.asarray(starts), np.asarray(ends), int(n_runs),
                         int(diag_mod)))
                     continue
-            sorted_keys = expand_and_sort(
-                index.sa, rowvalid, lo[start:end], width[start:end], qpos0,
-                diag_mod, capacity)
+            sorted_keys = expand_block_and_sort(
+                index.sa, rowvalid, lo_ext, w_ext, st, lim, dmod, capacity,
+                block)
             _consume(np.asarray(sorted_keys))
     else:
         from slamem_tpu.dist.seed import sharded_expand_sort
 
         ndev = len(mesh.devices.flat)
-        lo_h = np.asarray(lo)
         for g in range(0, len(blocks), ndev):
             group = blocks[g:g + ndev]
-            bmax = max(e - s for s, e in group)
-            glo = np.zeros((ndev, bmax), np.int64)
-            gw = np.zeros((ndev, bmax), np.int64)
-            gq0 = np.zeros((ndev, bmax), np.int64)
-            for d, (s, e) in enumerate(group):
-                glo[d, :e - s] = lo_h[s:e]
-                gw[d, :e - s] = w_host[s:e]
-                gq0[d, :e - s] = np.arange(s, e)
+            # dummy blocks (start = limit = m) keep group shapes fixed
+            starts = np.full(ndev, m, np.int64)
+            limits = np.full(ndev, m, np.int64)
+            for d, (st, en) in enumerate(group):
+                starts[d] = st
+                limits[d] = en
             keys, _total = sharded_expand_sort(
-                mesh, index.sa, rowvalid, jnp.asarray(glo), jnp.asarray(gw),
-                jnp.asarray(gq0), jnp.asarray(diag_mod), capacity)
+                mesh, index.sa, rowvalid, lo_ext, w_ext,
+                jnp.asarray(starts), jnp.asarray(limits),
+                jnp.asarray(diag_mod), capacity, block)
             keys_h = np.asarray(keys)
             for d in range(len(group)):
                 _consume(keys_h[d])
