@@ -63,13 +63,17 @@ def _search_one(index: FMIndex, qcodes: np.ndarray, cfg: Config,
 
 def run_engine(ref_set: FastaSet, query_set: FastaSet, cfg: Config,
                index: FMIndex | None = None, mesh=None) -> EngineOutput:
+    from slamem_tpu.utils.log import NULL_LOG, PhaseLog
+
+    log = PhaseLog(enabled=True) if cfg.verbose else NULL_LOG
     t0 = time.perf_counter()
     rtext, rstarts = ref_set.with_separators()
-    if index is None:
-        index = build_index(rtext, cfg.occ_block)
-    import jax
+    with log.phase("index_build", bp=len(rtext)):
+        if index is None:
+            index = build_index(rtext, cfg.occ_block)
+        import jax
 
-    jax.block_until_ready(index.sa)  # async dispatch would fake the timings
+        jax.block_until_ready(index.sa)  # async dispatch fakes timings
     t_build = time.perf_counter() - t0
 
     per_query: list[QueryMatches] = []
@@ -83,7 +87,9 @@ def run_engine(ref_set: FastaSet, query_set: FastaSet, cfg: Config,
             if rev:
                 qcodes = revcomp_codes(qcodes)
             qbp += len(qcodes)
-            m = _search_one(index, qcodes, cfg, mesh=mesh)
+            with log.phase("query", bp=len(qcodes),
+                           seq=query_set.names[qi], reverse=rev):
+                m = _search_one(index, qcodes, cfg, mesh=mesh)
             order = np.lexsort((m.refpos, m.qpos))
             refpos, qpos, length = m.refpos[order], m.qpos[order], m.length[order]
             seq_id, local = ref_set.locate_in_text(refpos, rstarts)

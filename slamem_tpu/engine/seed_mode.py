@@ -143,12 +143,67 @@ def _expand_sort_core(sa: jax.Array, rowvalid: jax.Array, lo: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def query_frontend(refk: jax.Array, qt: jax.Array, k: int):
-    """Fused packing + sorted search: one device dispatch per query."""
+    """Fused packing + sorted search + planning stats: one dispatch.
+
+    Also returns the device-resident width cumsum and a tiny summary
+    (total pairs, max width) so round planning needs only scalar fetches —
+    shipping the full width array to the host costs tens of MB per query on
+    tunneled backends.
+    """
     qk, qvalid = packed_kmers(qt, k)
     lo = jnp.searchsorted(refk, qk, side="left")
     hi = jnp.searchsorted(refk, qk, side="right")
-    width = jnp.where(qvalid, hi - lo, 0)
-    return lo.astype(jnp.int64), width.astype(jnp.int64)
+    width = jnp.where(qvalid, hi - lo, 0).astype(jnp.int64)
+    cum = jnp.cumsum(width)
+    summary = jnp.stack([cum[-1], jnp.max(width)])
+    return lo.astype(jnp.int64), width, cum, summary
+
+
+@jax.jit
+def _plan_bounds(cum: jax.Array, grid: jax.Array) -> jax.Array:
+    return jnp.searchsorted(cum, grid, side="left") + 1
+
+
+def plan_blocks_on_device(cum: jax.Array, summary: np.ndarray, capacity: int,
+                          block: int, m: int) -> list[tuple[int, int]]:
+    """Round planning with O(1) host traffic.
+
+    Blocks are cut on a uniform pair-count grid of step (capacity - max_w):
+    a block covering cumulative range [g, g + step) holds at most
+    step + max_w - 1 <= capacity - 1 pairs, so every round fits. Long blocks
+    are then split to the position-block size (pure index arithmetic).
+    """
+    total, max_w = int(summary[0]), int(summary[1])
+    if total == 0:
+        return []
+    if max_w > capacity // 2:
+        if max_w >= capacity:
+            raise NotImplementedError(
+                f"a query position has interval width {max_w} >= "
+                f"pair_capacity {capacity}; raise pair_capacity")
+        step = capacity - max_w
+    else:
+        step = capacity - max_w
+    nrounds = -(-total // step)
+    grid = jnp.arange(1, nrounds + 1, dtype=jnp.int64) * step
+    bounds = np.asarray(_plan_bounds(cum, grid))
+    blocks: list[tuple[int, int]] = []
+    prev = 0
+    for b in bounds:
+        end = min(int(b), m)
+        if end <= prev:
+            continue
+        while end - prev > block:
+            blocks.append((prev, prev + block))
+            prev += block
+        blocks.append((prev, end))
+        prev = end
+    if prev < m:
+        while m - prev > block:
+            blocks.append((prev, prev + block))
+            prev += block
+        blocks.append((prev, m))
+    return blocks
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "run_capacity"))
@@ -378,13 +433,15 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     qp = pad_query(query_text)
     m_p = int(qp.shape[0])
     refk, rowvalid = seed_table(index, k)
-    lo, width = query_frontend(refk, jnp.asarray(qp), k)
-    return pairs_to_matches(index, lo, width, k, m_p, cfg, mesh, rowvalid)
+    lo, width, cum, summary = query_frontend(refk, jnp.asarray(qp), k)
+    return pairs_to_matches(index, lo, width, k, m_p, cfg, mesh, rowvalid,
+                            cum=cum, summary=np.asarray(summary))
 
 
 def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                      m: int, cfg: Config, mesh=None,
-                     rowvalid: jax.Array | None = None) -> SeedMatches:
+                     rowvalid: jax.Array | None = None, cum=None,
+                     summary=None) -> SeedMatches:
     """Shared backend: intervals at depth k -> maximal matches >= min_length.
 
     Host-side planning slices query positions into rounds whose total pair
@@ -398,11 +455,16 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
     """
     if rowvalid is None:
         rowvalid = jnp.ones((index.n,), bool)
-    w_host = np.asarray(width)
-    cum = np.concatenate(([0], np.cumsum(w_host)))
     capacity = int(cfg.pair_capacity)
     block = min(cfg.position_block, m)
     diag_mod = np.int64(m + block + 2)  # qpos0 can reach m + block - 1
+
+    if cum is None:
+        w_host = np.asarray(width)
+        cum_h = np.concatenate(([0], np.cumsum(w_host)))
+        blocks = _plan_blocks(cum_h, m, capacity, block)
+    else:
+        blocks = plan_blocks_on_device(cum, summary, capacity, block, m)
 
     # pre-pad so in-program dynamic slices never clamp (start <= m)
     zpad = jnp.zeros((block,), jnp.int64)
@@ -412,7 +474,6 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
     want_pairs = cfg.mode.value != "mem"
     batches: list[RunBatch] = []
     pair_chunks: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
-    blocks = _plan_blocks(cum, m, capacity, block)
 
     def _consume(sorted_keys_host: np.ndarray) -> None:
         batch = runs_from_sorted_keys(sorted_keys_host, int(diag_mod), k,

@@ -1,0 +1,89 @@
+"""Integration tests shaped like the five BASELINE acceptance configs
+(synthetic stand-ins, SURVEY.md §6), engine output vs oracle per query."""
+
+import numpy as np
+
+from slamem_tpu.config import Config, MatchMode
+from slamem_tpu.dist.mesh import make_mesh
+from slamem_tpu.engine.run import run_engine
+from slamem_tpu.io import FastaSet, parse_fasta_bytes
+from slamem_tpu.oracle import oracle_matches
+from slamem_tpu.report.format import format_matches
+from slamem_tpu.utils.synth import mutate, random_genome
+
+
+def make_set(arrs, names):
+    lengths = np.array([len(a) for a in arrs], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1])).astype(np.int64)
+    return FastaSet(names=names, starts=starts, lengths=lengths,
+                    codes=np.concatenate(arrs))
+
+
+def check_vs_oracle(out, ref_set, query_set, cfg):
+    rtext, rstarts = ref_set.with_separators()
+    i = 0
+    from slamem_tpu.io.fasta import revcomp_codes
+
+    for qi in range(query_set.num_seqs):
+        for rev in ([False, True] if cfg.both_strands else [False]):
+            qm = out.per_query[i]
+            i += 1
+            q = query_set.sequence(qi).codes
+            if rev:
+                q = revcomp_codes(q)
+            want = oracle_matches(rtext, q, cfg.min_length, cfg.mode.value)
+            got = []
+            for j in range(qm.length.size):
+                gpos = int(rstarts[qm.ref_seq[j]] + qm.ref_pos[j])
+                got.append((gpos, int(qm.q_pos[j]), int(qm.length[j])))
+            assert sorted(got) == sorted(want), (qi, rev)
+
+
+def test_config2_multistrain_query():
+    """10 diverged strains as one multi-FASTA query vs one reference."""
+    base = random_genome(1200, seed=100)
+    strains = [mutate(base, 0.02, 0.002, seed=101 + i) for i in range(10)]
+    ref_set = make_set([base], ["refgenome"])
+    q_set = make_set(strains, [f"strain{i}" for i in range(10)])
+    cfg = Config(min_length=15)
+    out = run_engine(ref_set, q_set, cfg)
+    assert len(out.per_query) == 10
+    check_vs_oracle(out, ref_set, q_set, cfg)
+    text = format_matches(out)
+    for i in range(10):
+        assert f"> strain{i}\n" in text
+
+
+def test_config3_mam_mode():
+    ref = random_genome(1500, seed=110)
+    ref[800:900] = ref[100:200]
+    qry = mutate(ref, 0.015, 0.001, seed=111)
+    ref_set = make_set([ref], ["K12"])
+    q_set = make_set([qry], ["O157"])
+    cfg = Config(min_length=14, mode=MatchMode.MAM)
+    out = run_engine(ref_set, q_set, cfg)
+    check_vs_oracle(out, ref_set, q_set, cfg)
+
+
+def test_config1_both_strands_multifasta_ref():
+    fs = parse_fasta_bytes(
+        b">chrA\n" + b"ACGGTTAACCGGATCGATCG" * 40 + b"\n>chrB\n"
+        + b"TTGACCAGGATCCTTAGGCA" * 40 + b"\n")
+    qry = mutate(fs.codes[:600].copy(), 0.02, 0.002, seed=120)
+    q_set = make_set([qry], ["q1"])
+    cfg = Config(min_length=12, both_strands=True)
+    out = run_engine(fs, q_set, cfg)
+    assert len(out.per_query) == 2
+    check_vs_oracle(out, fs, q_set, cfg)
+
+
+def test_config5_sharded_equals_replicated_pipeline():
+    ref = random_genome(3000, seed=130)
+    qry = mutate(ref, 0.02, 0.001, seed=131)
+    ref_set = make_set([ref], ["chr1"])
+    q_set = make_set([qry], ["mouse_chr1"])
+    mesh = make_mesh(8)
+    out_r = run_engine(ref_set, q_set, Config(min_length=16))
+    out_s = run_engine(ref_set, q_set, Config(min_length=16,
+                                              shard_index=True), mesh=mesh)
+    assert format_matches(out_r) == format_matches(out_s)
