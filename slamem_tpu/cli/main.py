@@ -188,7 +188,8 @@ def main(argv: list[str] | None = None) -> int:
 
         write_dotplot(cfg.dotplot_path, out,
                       ref_len=int(ref_set.lengths.sum()),
-                      query_len=int(query_set.lengths.sum()))
+                      query_len=int(query_set.lengths.sum()),
+                      ref_starts=ref_set.starts)
     if cfg.verbose:
         s = out.stats
         print(f"index build: {s['index_build_s']:.3f}s; "

@@ -21,7 +21,7 @@ _AXIS = (120, 120, 120)
 
 
 def _rasterize(out: EngineOutput, ref_len: int, query_len: int,
-               size: int) -> np.ndarray:
+               size: int, ref_starts: np.ndarray | None = None) -> np.ndarray:
     img = np.full((size, size, 3), 255, np.uint8)
     img[0, :, :] = _AXIS
     img[-1, :, :] = _AXIS
@@ -29,7 +29,6 @@ def _rasterize(out: EngineOutput, ref_len: int, query_len: int,
     img[:, -1, :] = _AXIS
     sx = (size - 1) / max(ref_len, 1)
     sy = (size - 1) / max(query_len, 1)
-    # reconstruct global ref coords from per-seq ids by cumulative lengths
     for qm in out.per_query:
         if qm.length.size == 0:
             continue
@@ -38,7 +37,10 @@ def _rasterize(out: EngineOutput, ref_len: int, query_len: int,
             ln = int(qm.length[k])
             npts = max(2, min(ln, 4 * size))
             t = np.linspace(0.0, ln - 1, npts)
-            x = ((qm.ref_pos[k] + t) * sx).astype(np.int32)
+            # per-seq ref coords -> global x axis via sequence start offsets
+            roff = (int(ref_starts[int(qm.ref_seq[k])])
+                    if ref_starts is not None else 0)
+            x = ((roff + qm.ref_pos[k] + t) * sx).astype(np.int32)
             y = ((qm.q_pos[k] + t) * sy).astype(np.int32)
             img[np.clip(y, 0, size - 1), np.clip(x, 0, size - 1)] = color
     return img
@@ -61,5 +63,6 @@ def write_bmp(path: str, img: np.ndarray) -> None:
 
 
 def write_dotplot(path: str, out: EngineOutput, ref_len: int, query_len: int,
-                  size: int = 1024) -> None:
-    write_bmp(path, _rasterize(out, ref_len, query_len, size))
+                  size: int = 1024, ref_starts: np.ndarray | None = None
+                  ) -> None:
+    write_bmp(path, _rasterize(out, ref_len, query_len, size, ref_starts))

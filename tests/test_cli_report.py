@@ -121,3 +121,12 @@ def test_golden_listing(tmp_path):
         "     201        84        60\n"
     )
     assert outp.read_text() == golden
+
+
+def test_cli_scan_engine_matches_seed(small_pair, tmp_path):
+    rp, qp = small_pair
+    o1, o2 = tmp_path / "seed.txt", tmp_path / "scan.txt"
+    assert main(["-l", "15", "-engine", "seed", "-o", str(o1), str(rp), str(qp)]) == 0
+    assert main(["-l", "15", "-engine", "scan", "-o", str(o2), str(rp), str(qp)]) == 0
+    assert o1.read_text() == o2.read_text()
+    assert len(o1.read_text().splitlines()) > 1
