@@ -65,16 +65,19 @@ def packed_kmers(text: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     A in the index's suffix order) — see seed_table.
     """
     n = text.shape[0]
-    pos = jnp.arange(n, dtype=jnp.int64)
-    special_at = jnp.where(text >= CODE_N, pos, jnp.int64(n))
+    pos = jnp.arange(n, dtype=jnp.int32)
+    special_at = jnp.where(text >= CODE_N, pos, jnp.int32(n))
     next_special = jax.lax.cummin(special_at, reverse=True)
     valid = next_special - pos >= k
     padded = jnp.concatenate([text, jnp.zeros((k,), jnp.uint8)])
-    acc = jnp.zeros((n,), jnp.int64)
+    # k <= 16 packs into uint32 — int64 compares/sorts/gathers cost 2-6x on
+    # TPU (measured), so the narrow dtype is the default fast path
+    dt = jnp.uint32 if k <= 16 else jnp.int64
+    acc = jnp.zeros((n,), dt)
     for t in range(k):
-        ch = padded[t:t + n].astype(jnp.int64)
+        ch = padded[t:t + n].astype(dt)
         mask = pos + t < next_special
-        acc = acc * 4 + jnp.where(mask, ch, 0)
+        acc = acc * 4 + jnp.where(mask, ch, jnp.zeros((), dt))
     return acc, valid
 
 
@@ -117,28 +120,58 @@ def seed_intervals(refk: jax.Array, qk: jax.Array, qvalid: jax.Array
     return lo.astype(jnp.int64), width.astype(jnp.int64)
 
 
+_I32MAX = np.iinfo(np.int32).max
+
+
+def _expand_pairs_core(sa: jax.Array, rowvalid: jax.Array, lo: jax.Array,
+                       width: jax.Array, qpos0: jax.Array, m_off: jax.Array,
+                       capacity: int) -> tuple[jax.Array, jax.Array]:
+    """Ragged expansion + lexicographic sort, all in int32.
+
+    Returns (diag_sorted, qpos_sorted): candidate pairs as
+    diag' = refpos - qpos + m_off (int32, positive) and qpos (int32),
+    sorted by (diag', qpos); invalid slots carry (_I32MAX, _I32MAX) and sort
+    last. Measured on v5e: int64 keys cost 2-6x across sort/gather/compare
+    and XLA's searchsorted seg-id lowering another ~25x vs scatter+cummax —
+    this function is why the engine holds no 64-bit value on the hot path.
+
+    ``rowvalid`` is indexed by SA ROW (validity of the ref window starting
+    at sa[row]) so validity shards alongside SA slabs (dist/sharded.py).
+    """
+    w32 = width.astype(jnp.int32)
+    ends = jnp.cumsum(w32)
+    base = ends - w32
+    nseg = w32.shape[0]
+    marks = jnp.zeros((capacity,), jnp.int32).at[
+        jnp.clip(base, max=capacity)].max(
+            jnp.arange(nseg, dtype=jnp.int32) + 1, mode="drop")
+    seg_c = jnp.clip(jax.lax.cummax(marks) - 1, 0, nseg - 1)
+    slot = jnp.arange(capacity, dtype=jnp.int32)
+    t = slot - base[seg_c]
+    in_range = slot < ends[nseg - 1]
+    sa_idx = jnp.clip(lo.astype(jnp.int32)[seg_c] + t, 0, sa.shape[0] - 1)
+    refpos = sa[sa_idx]
+    qp = qpos0.astype(jnp.int32)[seg_c]
+    ok = in_range & (t >= 0) & (t < w32[seg_c]) & rowvalid[sa_idx]
+    d = jnp.where(ok, refpos - qp + m_off.astype(jnp.int32), _I32MAX)
+    q = jnp.where(ok, qp, _I32MAX)
+    d_s, q_s = jax.lax.sort((d, q), dimension=0, num_keys=2)
+    return d_s, q_s
+
+
 def _expand_sort_core(sa: jax.Array, rowvalid: jax.Array, lo: jax.Array,
                       width: jax.Array, qpos0: jax.Array, diag_mod: jax.Array,
                       capacity: int) -> jax.Array:
-    """Expansion+sort body, shared by the jitted single-device path and the
-    shard_map distributed paths (dist/seed.py, dist/sharded.py).
+    """int64-key view over _expand_pairs_core (legacy/dist contract).
 
-    ``rowvalid`` is indexed by SA ROW (validity of the ref window starting at
-    sa[row]), not by text position — row-indexed data shards alongside the
-    SA slabs in the sharded-index path."""
-    ends = jnp.cumsum(width)
-    slot = jnp.arange(capacity, dtype=jnp.int64)
-    seg = jnp.searchsorted(ends, slot, side="right")
-    seg_c = jnp.clip(seg, max=width.shape[0] - 1)
-    t = slot - (ends[seg_c] - width[seg_c])
-    in_range = slot < ends[-1]
-    sa_idx = jnp.clip(lo[seg_c] + t, 0, sa.shape[0] - 1)
-    refpos = sa[sa_idx].astype(jnp.int64)
-    qp = qpos0[seg_c]
-    ok = in_range & rowvalid[sa_idx]
-    m_off = diag_mod // 2  # any value > max qpos keeps diag positive
-    key = (refpos - qp + m_off) * diag_mod + qp
-    return jnp.sort(jnp.where(ok, key, _I64MAX))
+    The keys come out already sorted because key = diag' * diag_mod + qpos
+    is monotone in the (diag', qpos) lexicographic order.
+    """
+    m_off = (diag_mod // 2).astype(jnp.int32)
+    d_s, q_s = _expand_pairs_core(sa, rowvalid, lo, width, qpos0, m_off,
+                                  capacity)
+    key = d_s.astype(jnp.int64) * diag_mod + q_s.astype(jnp.int64)
+    return jnp.where(d_s == _I32MAX, _I64MAX, key)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -151,12 +184,12 @@ def query_frontend(refk: jax.Array, qt: jax.Array, k: int):
     tunneled backends.
     """
     qk, qvalid = packed_kmers(qt, k)
-    lo = jnp.searchsorted(refk, qk, side="left")
-    hi = jnp.searchsorted(refk, qk, side="right")
-    width = jnp.where(qvalid, hi - lo, 0).astype(jnp.int64)
-    cum = jnp.cumsum(width)
-    summary = jnp.stack([cum[-1], jnp.max(width)])
-    return lo.astype(jnp.int64), width, cum, summary
+    lo = jnp.searchsorted(refk, qk, side="left", method="sort")
+    hi = jnp.searchsorted(refk, qk, side="right", method="sort")
+    width = jnp.where(qvalid, hi - lo, 0).astype(jnp.int32)
+    cum = jnp.cumsum(width.astype(jnp.int64))
+    summary = jnp.stack([cum[-1], jnp.max(width).astype(jnp.int64)])
+    return lo.astype(jnp.int32), width, cum, summary
 
 
 @jax.jit
@@ -240,7 +273,7 @@ def _compact_runs(keys: jax.Array, run_capacity: int):
 
 def runs_from_compacted(starts: np.ndarray, ends: np.ndarray, n_runs: int,
                         diag_mod: int) -> RunBatch:
-    """Decode device-compacted run boundary keys into a RunBatch."""
+    """Decode device-compacted int64 run boundary keys into a RunBatch."""
     s = starts[:n_runs]
     e = ends[:n_runs]
     m_off = diag_mod // 2
@@ -248,6 +281,15 @@ def runs_from_compacted(starts: np.ndarray, ends: np.ndarray, n_runs: int,
     diag = s // diag_mod - m_off
     qend = e % diag_mod
     return RunBatch(diag, qstart, qend)
+
+
+def runs_from_compacted32(run_d: np.ndarray, run_qs: np.ndarray,
+                          run_qe: np.ndarray, n_runs: int,
+                          m_off: int) -> RunBatch:
+    """Decode device-compacted int32 run triples into a RunBatch."""
+    return RunBatch((run_d[:n_runs] - m_off).astype(np.int64),
+                    run_qs[:n_runs].astype(np.int64),
+                    run_qe[:n_runs].astype(np.int64))
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
@@ -267,9 +309,8 @@ def expand_and_sort(sa: jax.Array, rowvalid: jax.Array, lo: jax.Array,
                              capacity)
 
 
-def _expand_block_core(sa, rowvalid, lo_full, w_full, start, limit, diag_mod,
-                       capacity: int, block: int):
-    """Fixed-shape block expansion: slice [start, start+block) inside the
+def _block_slices(lo_full, w_full, start, limit, block: int):
+    """Fixed-shape block slicing: slice [start, start+block) inside the
     program (lax.dynamic_slice) so every round reuses ONE compilation —
     variable host-side slicing used to trigger a multi-minute XLA compile
     per round on remote backends. Positions >= limit contribute nothing
@@ -277,20 +318,46 @@ def _expand_block_core(sa, rowvalid, lo_full, w_full, start, limit, diag_mod,
     the slice never clamps."""
     lo = jax.lax.dynamic_slice(lo_full, (start,), (block,))
     w = jax.lax.dynamic_slice(w_full, (start,), (block,))
-    qpos0 = start.astype(jnp.int64) + jnp.arange(block, dtype=jnp.int64)
-    w = jnp.where(qpos0 < limit, w, 0)
+    qpos0 = (start.astype(jnp.int32)
+             + jnp.arange(block, dtype=jnp.int32))
+    w = jnp.where(qpos0.astype(limit.dtype) < limit, w,
+                  jnp.zeros((), w.dtype))
+    return lo, w, qpos0
+
+
+def _expand_block_core(sa, rowvalid, lo_full, w_full, start, limit, diag_mod,
+                       capacity: int, block: int):
+    """int64-key block expansion (dist paths contract)."""
+    lo, w, qpos0 = _block_slices(lo_full, w_full, start, limit, block)
     return _expand_sort_core(sa, rowvalid, lo, w, qpos0, diag_mod, capacity)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("capacity", "run_capacity", "block"))
 def expand_block_to_runs(sa, rowvalid, lo_full, w_full, start, limit,
-                         diag_mod, capacity: int, run_capacity: int,
+                         m_off, capacity: int, run_capacity: int,
                          block: int):
-    """Fixed-shape variant of expand_to_runs (MEM fast path)."""
-    keys = _expand_block_core(sa, rowvalid, lo_full, w_full, start, limit,
-                              diag_mod, capacity, block)
-    return _compact_runs(keys, run_capacity)
+    """Fixed-shape MEM fast path, int32 end to end: expansion, pair sort and
+    run compaction without one 64-bit value; only run boundaries (3 int32
+    arrays of run_capacity) leave the device."""
+    lo, w, qpos0 = _block_slices(lo_full, w_full, start, limit, block)
+    d_s, q_s = _expand_pairs_core(sa, rowvalid, lo, w, qpos0, m_off, capacity)
+    valid = d_s != _I32MAX
+    pd = jnp.concatenate([jnp.full((1,), -2, jnp.int32), d_s[:-1]])
+    pq = jnp.concatenate([jnp.full((1,), -2, jnp.int32), q_s[:-1]])
+    nd = jnp.concatenate([d_s[1:], jnp.full((1,), -2, jnp.int32)])
+    nq = jnp.concatenate([q_s[1:], jnp.full((1,), -2, jnp.int32)])
+    is_start = valid & ((d_s != pd) | (q_s != pq + 1))
+    is_end = valid & ((d_s != nd) | (q_s != nq - 1))
+    ridx = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    drop = jnp.int32(run_capacity)
+    run_d = jnp.full((run_capacity,), -1, jnp.int32).at[
+        jnp.where(is_start, ridx, drop)].set(d_s, mode="drop")
+    run_qs = jnp.full((run_capacity,), -1, jnp.int32).at[
+        jnp.where(is_start, ridx, drop)].set(q_s, mode="drop")
+    run_qe = jnp.full((run_capacity,), -1, jnp.int32).at[
+        jnp.where(is_end, ridx, drop)].set(q_s, mode="drop")
+    return run_d, run_qs, run_qe, jnp.sum(is_start), jnp.sum(valid)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "block"))
@@ -467,9 +534,8 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
         blocks = plan_blocks_on_device(cum, summary, capacity, block, m)
 
     # pre-pad so in-program dynamic slices never clamp (start <= m)
-    zpad = jnp.zeros((block,), jnp.int64)
-    lo_ext = jnp.concatenate([lo, zpad])
-    w_ext = jnp.concatenate([width, zpad])
+    lo_ext = jnp.concatenate([lo, jnp.zeros((block,), lo.dtype)])
+    w_ext = jnp.concatenate([width, jnp.zeros((block,), width.dtype)])
 
     want_pairs = cfg.mode.value != "mem"
     batches: list[RunBatch] = []
@@ -486,17 +552,19 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
     if mesh is None or len(mesh.devices.flat) == 1:
         run_cap = max(4096, capacity // 16)
         dmod = jnp.asarray(diag_mod)
+        m_off32 = jnp.asarray(int(diag_mod) // 2, jnp.int32)
         for start, end in blocks:
             st = jnp.asarray(start, jnp.int64)
             lim = jnp.asarray(end, jnp.int64)
             if not want_pairs:
-                starts, ends, n_runs, _np_ = expand_block_to_runs(
-                    index.sa, rowvalid, lo_ext, w_ext, st, lim, dmod,
+                run_d, run_qs, run_qe, n_runs, _np_ = expand_block_to_runs(
+                    index.sa, rowvalid, lo_ext, w_ext, st, lim, m_off32,
                     capacity, run_cap, block)
                 if int(n_runs) <= run_cap:
-                    batches.append(runs_from_compacted(
-                        np.asarray(starts), np.asarray(ends), int(n_runs),
-                        int(diag_mod)))
+                    batches.append(runs_from_compacted32(
+                        np.asarray(run_d), np.asarray(run_qs),
+                        np.asarray(run_qe), int(n_runs),
+                        int(diag_mod) // 2))
                     continue
             sorted_keys = expand_block_and_sort(
                 index.sa, rowvalid, lo_ext, w_ext, st, lim, dmod, capacity,
