@@ -17,6 +17,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost() -> bool:
+    """Join a multi-host JAX runtime when launcher env vars are present.
+
+    On a v5e pod slice each host process calls jax.distributed.initialize()
+    (coordinator/process env provided by the launcher); afterwards
+    jax.devices() spans every chip in the slice and make_mesh lays the ``q``
+    axis across hosts x chips — collectives ride ICI within a host's chips
+    and DCN between hosts, with no engine code changes. Returns True if a
+    multi-host runtime was joined.
+    """
+    import os
+
+    if not (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS")):
+        return False
+    jax.distributed.initialize()
+    return jax.process_count() > 1
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "q") -> Mesh:
     devices = jax.devices()
     n = n_devices if n_devices is not None else len(devices)

@@ -50,7 +50,11 @@ def shard_tables(index: FMIndex, k: int, mesh: Mesh):
     n = index.n
     slab = -(-n // ndev)
     pad = slab * ndev - n
-    refk_p = jnp.concatenate([refk, jnp.full((pad,), _I64MAX, jnp.int64)])
+    # dtype-max padding sorts after every real row; padded rows are filtered
+    # by rowvalid at expansion. Matching dtype matters: an int64 pad would
+    # silently promote the whole uint32 table.
+    pad_val = jnp.iinfo(refk.dtype).max
+    refk_p = jnp.concatenate([refk, jnp.full((pad,), pad_val, refk.dtype)])
     sa_p = jnp.concatenate([index.sa, jnp.zeros((pad,), jnp.int32)])
     rv_p = jnp.concatenate([rowvalid, jnp.zeros((pad,), bool)])
     sh = NamedSharding(mesh, P("q", None))
