@@ -1,0 +1,122 @@
+"""Pallas TPU kernel for batched FM-index rank/occ queries.
+
+occ(c, j) = count of char c in bwt[0:j) — the reference's per-character
+occ lookup (bwtindex.c layer, SURVEY.md §2) re-shaped for TPU: a tile of 128
+queries per program, per-lane async DMAs stream each query's 128-byte BWT
+block HBM→VMEM (pipelined: all copies start before any wait), then one
+vectorized compare/mask/popcount over the (128, 128) tile plus a one-hot
+checkpoint add produce the answers. Memory traffic per query is exactly one
+checkpoint row (16 B) + one block (128 B) — the design roofline of
+BASELINE's "rank-query inner loop".
+
+The jnp reference implementation is index.build.rank_batch; equivalence is
+tested in interpret mode on CPU and compiled on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from slamem_tpu.index.build import FMIndex
+
+TILE = 128
+
+
+def _rank_kernel(pos_smem, chars_vmem, pos_vmem, bwt_hbm, ckpt_hbm, out_ref,
+                 blocks, ckrows, sems, csems, *, occ_block: int):
+    def get_block_copy(i):
+        blk = pos_smem[i] // occ_block
+        return pltpu.make_async_copy(
+            bwt_hbm.at[pl.ds(blk * occ_block, occ_block)],
+            blocks.at[i], sems.at[i])
+
+    def get_ckpt_copy(i):
+        blk = pos_smem[i] // occ_block
+        return pltpu.make_async_copy(ckpt_hbm.at[blk], ckrows.at[i],
+                                     csems.at[i])
+
+    def start(i, _):
+        get_block_copy(i).start()
+        get_ckpt_copy(i).start()
+        return 0
+
+    jax.lax.fori_loop(0, TILE, start, 0)
+
+    def wait(i, _):
+        get_block_copy(i).wait()
+        get_ckpt_copy(i).wait()
+        return 0
+
+    jax.lax.fori_loop(0, TILE, wait, 0)
+
+    chars = chars_vmem[:]                       # (TILE,) int32
+    within = pos_vmem[:] % occ_block            # (TILE,) int32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, occ_block), 1)
+    data = blocks[:].astype(jnp.int32)          # (TILE, occ_block)
+    in_block = jnp.sum(
+        jnp.where((data == chars[:, None]) & (lane < within[:, None]), 1, 0),
+        axis=1, dtype=jnp.int32)
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (TILE, 4), 1)
+              == chars[:, None])
+    base = jnp.sum(jnp.where(onehot, ckrows[:], 0), axis=1, dtype=jnp.int32)
+    out_ref[:] = base + in_block
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("occ_block", "interpret"))
+def rank_pallas_padded(bwt_padded: jax.Array, occ_ckpt: jax.Array,
+                       chars: jax.Array, positions: jax.Array,
+                       occ_block: int, interpret: bool = False) -> jax.Array:
+    """Batched occ over pre-padded inputs; batch must be a TILE multiple."""
+    b = chars.shape[0]
+    grid = (b // TILE,)
+    kernel = functools.partial(_rank_kernel, occ_block=occ_block)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((TILE,), lambda i: (i,),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b,), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((TILE, occ_block), jnp.uint8),
+            pltpu.VMEM((TILE, 4), jnp.int32),
+            pltpu.SemaphoreType.DMA((TILE,)),
+            pltpu.SemaphoreType.DMA((TILE,)),
+        ],
+        interpret=interpret,
+    )(positions, chars, positions, bwt_padded, occ_ckpt)
+
+
+def rank_pallas(index: FMIndex, chars: jax.Array, positions: jax.Array,
+                interpret: bool = False) -> jax.Array:
+    """occ(c, j) batched — Pallas fast path, drop-in for rank_batch."""
+    B = index.occ_block
+    n_blocks = index.occ_ckpt.shape[0]  # nb + 1
+    padded_len = n_blocks * B
+    bwt_padded = jnp.concatenate(
+        [index.bwt, jnp.full((padded_len - index.n,), 6, jnp.uint8)])
+    b = int(chars.shape[0])
+    bp = -(-b // TILE) * TILE
+    cpad = jnp.concatenate(
+        [chars.astype(jnp.int32), jnp.zeros((bp - b,), jnp.int32)])
+    ppad = jnp.concatenate(
+        [positions.astype(jnp.int32), jnp.zeros((bp - b,), jnp.int32)])
+    out = rank_pallas_padded(bwt_padded, index.occ_ckpt, cpad, ppad, B,
+                             interpret=interpret)
+    return out[:b]
