@@ -184,12 +184,48 @@ def query_frontend(refk: jax.Array, qt: jax.Array, k: int):
     tunneled backends.
     """
     qk, qvalid = packed_kmers(qt, k)
-    lo = jnp.searchsorted(refk, qk, side="left", method="sort")
-    hi = jnp.searchsorted(refk, qk, side="right", method="sort")
-    width = jnp.where(qvalid, hi - lo, 0).astype(jnp.int32)
+    lo, width = _join_intervals(refk, qk, qvalid)
     cum = jnp.cumsum(width.astype(jnp.int64))
     summary = jnp.stack([cum[-1], jnp.max(width).astype(jnp.int64)])
-    return lo.astype(jnp.int32), width, cum, summary
+    return lo, width, cum, summary
+
+
+def _join_intervals(refk: jax.Array, qk: jax.Array, qvalid: jax.Array
+                    ) -> tuple[jax.Array, jax.Array]:
+    """Both SA-interval bounds of every query K-mer from ONE combined sort.
+
+    Sort (key, tag, idx) with refs tagged 0 and queries 1: within a run of
+    equal keys all refs precede all queries, so for a query at sorted slot p
+    with run start rs, refs-before-run-start = its LEFT bound and
+    refs-up-to-p = its RIGHT bound — one variadic int32-friendly sort plus
+    cumsum/cummax, instead of two sort-method searchsorteds that each re-sort
+    the query side.
+    """
+    n = refk.shape[0]
+    m = qk.shape[0]
+    key = jnp.concatenate([refk, qk])
+    tag = jnp.concatenate([jnp.zeros((n,), jnp.int32),
+                           jnp.ones((m,), jnp.int32)])
+    idx = jnp.concatenate([jnp.zeros((n,), jnp.int32),
+                           jnp.arange(m, dtype=jnp.int32)])
+    key_s, tag_s, idx_s = jax.lax.sort((key, tag, idx), dimension=0,
+                                       num_keys=2)
+    is_ref = 1 - tag_s
+    crefs = jnp.cumsum(is_ref, dtype=jnp.int32)        # inclusive
+    excl = crefs - is_ref                              # refs strictly before
+    pos = jnp.arange(n + m, dtype=jnp.int32)
+    new_run = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (key_s[1:] != key_s[:-1]).astype(jnp.int32)])
+    rs = jax.lax.cummax(jnp.where(new_run == 1, pos, 0))
+    left = excl[rs]
+    right = crefs  # == excl at query slots (tag 1)
+    q_slot = tag_s == 1
+    scatter_idx = jnp.where(q_slot, idx_s, m)
+    lo = jnp.zeros((m,), jnp.int32).at[scatter_idx].set(left, mode="drop")
+    hi = jnp.zeros((m,), jnp.int32).at[scatter_idx].set(right, mode="drop")
+    width = jnp.where(qvalid, hi - lo, 0).astype(jnp.int32)
+    return lo, width
 
 
 @jax.jit
