@@ -135,7 +135,7 @@ def scan_intervals(index: FMIndex, query_text: np.ndarray, L: int,
     qt = jnp.asarray(query_text, dtype=jnp.uint8)
     pyr = get_pyramid(index)
     lo, w = _scan_lanes(index, pyr, qt, L, lane_block)
-    return lo.astype(jnp.int64), w.astype(jnp.int64)
+    return lo, w
 
 
 def find_scan_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
@@ -143,9 +143,10 @@ def find_scan_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     """Scan frontend + shared pair/run backend (see seed_mode)."""
     from slamem_tpu.engine import seed_mode
 
-    m = int(query_text.shape[0])
     L = cfg.min_length
-    lo, width = scan_intervals(index, query_text, L)
+    qp = seed_mode.pad_query(query_text)  # N-padding: no spurious intervals
+    m = int(qp.shape[0])
+    lo, width = scan_intervals(index, qp, L)
     rowvalid = jnp.ones((index.n,), bool)  # FM hits never touch specials
     return seed_mode.pairs_to_matches(index, lo, width, L, m, cfg, mesh,
                                       rowvalid)
