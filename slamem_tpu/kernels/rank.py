@@ -30,10 +30,12 @@ TILE = 128
 
 def _rank_kernel(pos_smem, chars_vmem, pos_vmem, bwt_hbm, ckpt_hbm, out_ref,
                  blocks, ckrows, sems, csems, *, occ_block: int):
+    words_per_block = occ_block // 4
+
     def get_block_copy(i):
         blk = pos_smem[i] // occ_block
         return pltpu.make_async_copy(
-            bwt_hbm.at[pl.ds(blk * occ_block, occ_block)],
+            bwt_hbm.at[pl.ds(blk * words_per_block, words_per_block)],
             blocks.at[i], sems.at[i])
 
     def get_ckpt_copy(i):
@@ -57,23 +59,30 @@ def _rank_kernel(pos_smem, chars_vmem, pos_vmem, bwt_hbm, ckpt_hbm, out_ref,
 
     chars = chars_vmem[:]                       # (TILE,) int32
     within = pos_vmem[:] % occ_block            # (TILE,) int32
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, occ_block), 1)
-    data = blocks[:].astype(jnp.int32)          # (TILE, occ_block)
-    in_block = jnp.sum(
-        jnp.where((data == chars[:, None]) & (lane < within[:, None]), 1, 0),
-        axis=1, dtype=jnp.int32)
+    # The BWT arrives as little-endian uint32 words (4 symbols per word,
+    # packed outside the kernel): unpack with integer shifts — Mosaic has no
+    # uint8 vector widening.
+    words = blocks[:]                           # (TILE, occ_block // 4)
+    hits = jnp.zeros((TILE,), jnp.int32)
+    for byte in range(4):
+        sub = ((words >> (8 * byte)) & 0xFF).astype(jnp.int32)
+        lane_b = (jax.lax.broadcasted_iota(
+            jnp.int32, (TILE, words_per_block), 1) * 4 + byte)
+        hit = (sub == chars[:, None]) & (lane_b < within[:, None])
+        hits = hits + jnp.sum(jnp.where(hit, 1, 0), axis=1, dtype=jnp.int32)
     onehot = (jax.lax.broadcasted_iota(jnp.int32, (TILE, 4), 1)
               == chars[:, None])
     base = jnp.sum(jnp.where(onehot, ckrows[:], 0), axis=1, dtype=jnp.int32)
-    out_ref[:] = base + in_block
+    out_ref[:] = base + hits
 
 
 @functools.partial(jax.jit,
                    static_argnames=("occ_block", "interpret"))
-def rank_pallas_padded(bwt_padded: jax.Array, occ_ckpt: jax.Array,
+def rank_pallas_padded(bwt_words: jax.Array, occ_ckpt: jax.Array,
                        chars: jax.Array, positions: jax.Array,
                        occ_block: int, interpret: bool = False) -> jax.Array:
-    """Batched occ over pre-padded inputs; batch must be a TILE multiple."""
+    """Batched occ; bwt_words = uint32-packed padded BWT, batch a TILE
+    multiple."""
     b = chars.shape[0]
     grid = (b // TILE,)
     kernel = functools.partial(_rank_kernel, occ_block=occ_block)
@@ -94,13 +103,13 @@ def rank_pallas_padded(bwt_padded: jax.Array, occ_ckpt: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b,), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((TILE, occ_block), jnp.uint8),
+            pltpu.VMEM((TILE, occ_block // 4), jnp.uint32),
             pltpu.VMEM((TILE, 4), jnp.int32),
             pltpu.SemaphoreType.DMA((TILE,)),
             pltpu.SemaphoreType.DMA((TILE,)),
         ],
         interpret=interpret,
-    )(positions, chars, positions, bwt_padded, occ_ckpt)
+    )(positions, chars, positions, bwt_words, occ_ckpt)
 
 
 def rank_pallas(index: FMIndex, chars: jax.Array, positions: jax.Array,
@@ -111,12 +120,14 @@ def rank_pallas(index: FMIndex, chars: jax.Array, positions: jax.Array,
     padded_len = n_blocks * B
     bwt_padded = jnp.concatenate(
         [index.bwt, jnp.full((padded_len - index.n,), 6, jnp.uint8)])
+    bwt_words = jax.lax.bitcast_convert_type(
+        bwt_padded.reshape(-1, 4), jnp.uint32)
     b = int(chars.shape[0])
     bp = -(-b // TILE) * TILE
     cpad = jnp.concatenate(
         [chars.astype(jnp.int32), jnp.zeros((bp - b,), jnp.int32)])
     ppad = jnp.concatenate(
         [positions.astype(jnp.int32), jnp.zeros((bp - b,), jnp.int32)])
-    out = rank_pallas_padded(bwt_padded, index.occ_ckpt, cpad, ppad, B,
+    out = rank_pallas_padded(bwt_words, index.occ_ckpt, cpad, ppad, B,
                              interpret=interpret)
     return out[:b]
