@@ -74,17 +74,23 @@ def main() -> int:
     argv = sys.argv[1:]
     calibrate = "--calibrate" in argv
     size = SIZE
+    minlen = MINLEN
     if "--quick" in argv:
         size = 1_000_000
+    if "--chr21" in argv:  # config #4 stand-in: chr21-scale pair, -l 50
+        size = 40_000_000
+        minlen = 50
     for i, a in enumerate(argv):
         if a == "--size":
             size = int(argv[i + 1])
+        if a == "--minlen":
+            minlen = int(argv[i + 1])
 
     if calibrate:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    res = run_bench(size, MINLEN)
+    res = run_bench(size, minlen)
 
     if calibrate:
         payload = {
@@ -92,7 +98,7 @@ def main() -> int:
             "provenance": "same engine, jax CPU backend, pin with "
                           "`taskset -c 0 python bench.py --calibrate`",
             "size": size,
-            "minlen": MINLEN,
+            "minlen": minlen,
             "query_s": res["query_s"],
             "device": res["device"],
         }
