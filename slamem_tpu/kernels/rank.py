@@ -32,15 +32,20 @@ def _rank_kernel(pos_smem, chars_vmem, pos_vmem, bwt_hbm, ckpt_hbm, out_ref,
                  blocks, ckrows, sems, csems, *, occ_block: int):
     words_per_block = occ_block // 4
 
+    def _blk(i):
+        # explicit lax arithmetic: the jnp operator path trips a dtype
+        # promotion recursion when tracing SMEM scalar reads on this backend
+        return jax.lax.div(pos_smem[i], jnp.int32(occ_block))
+
     def get_block_copy(i):
-        blk = pos_smem[i] // occ_block
+        blk = _blk(i)
         return pltpu.make_async_copy(
-            bwt_hbm.at[pl.ds(blk * words_per_block, words_per_block)],
+            bwt_hbm.at[pl.ds(jax.lax.mul(blk, jnp.int32(words_per_block)),
+                             words_per_block)],
             blocks.at[i], sems.at[i])
 
     def get_ckpt_copy(i):
-        blk = pos_smem[i] // occ_block
-        return pltpu.make_async_copy(ckpt_hbm.at[blk], ckrows.at[i],
+        return pltpu.make_async_copy(ckpt_hbm.at[_blk(i)], ckrows.at[i],
                                      csems.at[i])
 
     def start(i, _):
@@ -58,7 +63,7 @@ def _rank_kernel(pos_smem, chars_vmem, pos_vmem, bwt_hbm, ckpt_hbm, out_ref,
     jax.lax.fori_loop(0, TILE, wait, 0)
 
     chars = chars_vmem[:]                       # (TILE,) int32
-    within = pos_vmem[:] % occ_block            # (TILE,) int32
+    within = jax.lax.rem(pos_vmem[:], jnp.int32(occ_block))
     # The BWT arrives as little-endian uint32 words (4 symbols per word,
     # packed outside the kernel): unpack with integer shifts — Mosaic has no
     # uint8 vector widening.
