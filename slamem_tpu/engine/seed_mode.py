@@ -589,23 +589,42 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
         run_cap = max(4096, capacity // 16)
         dmod = jnp.asarray(diag_mod)
         m_off32 = jnp.asarray(int(diag_mod) // 2, jnp.int32)
-        for start, end in blocks:
-            st = jnp.asarray(start, jnp.int64)
-            lim = jnp.asarray(end, jnp.int64)
-            if not want_pairs:
-                run_d, run_qs, run_qe, n_runs, _np_ = expand_block_to_runs(
-                    index.sa, rowvalid, lo_ext, w_ext, st, lim, m_off32,
-                    capacity, run_cap, block)
-                if int(n_runs) <= run_cap:
+        if not want_pairs:
+            # dispatch ALL rounds before fetching anything: device work and
+            # host transfers pipeline instead of paying one round trip per
+            # round (round trips dominate on tunneled backends)
+            pending = []
+            for start, end in blocks:
+                pending.append(expand_block_to_runs(
+                    index.sa, rowvalid, lo_ext, w_ext,
+                    jnp.asarray(start, jnp.int64), jnp.asarray(end, jnp.int64),
+                    m_off32, capacity, run_cap, block))
+            if pending:
+                stacked = [jnp.stack([p[j] for p in pending])
+                           for j in range(4)]
+                run_d_all, run_qs_all, run_qe_all = (
+                    np.asarray(stacked[0]), np.asarray(stacked[1]),
+                    np.asarray(stacked[2]))
+                n_runs_all = np.asarray(stacked[3])
+            for r, (start, end) in enumerate(blocks):
+                n_runs = int(n_runs_all[r])
+                if n_runs <= run_cap:
                     batches.append(runs_from_compacted32(
-                        np.asarray(run_d), np.asarray(run_qs),
-                        np.asarray(run_qe), int(n_runs),
+                        run_d_all[r], run_qs_all[r], run_qe_all[r], n_runs,
                         int(diag_mod) // 2))
-                    continue
-            sorted_keys = expand_block_and_sort(
-                index.sa, rowvalid, lo_ext, w_ext, st, lim, dmod, capacity,
-                block)
-            _consume(np.asarray(sorted_keys))
+                else:  # overflow: full-key fallback for this block only
+                    sorted_keys = expand_block_and_sort(
+                        index.sa, rowvalid, lo_ext, w_ext,
+                        jnp.asarray(start, jnp.int64),
+                        jnp.asarray(end, jnp.int64), dmod, capacity, block)
+                    _consume(np.asarray(sorted_keys))
+        else:
+            for start, end in blocks:
+                sorted_keys = expand_block_and_sort(
+                    index.sa, rowvalid, lo_ext, w_ext,
+                    jnp.asarray(start, jnp.int64), jnp.asarray(end, jnp.int64),
+                    dmod, capacity, block)
+                _consume(np.asarray(sorted_keys))
     else:
         from slamem_tpu.dist.seed import sharded_expand_sort
 
