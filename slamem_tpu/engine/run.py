@@ -13,7 +13,7 @@ import time
 
 import numpy as np
 
-from slamem_tpu.config import Config
+from slamem_tpu.config import Config, MatchMode
 from slamem_tpu.engine import seed_mode
 from slamem_tpu.index.build import FMIndex, build_index
 from slamem_tpu.io.fasta import FastaSet, revcomp_codes
@@ -80,23 +80,60 @@ def run_engine(ref_set: FastaSet, query_set: FastaSet, cfg: Config,
     total = 0
     qbp = 0
     t1 = time.perf_counter()
-    for qi in range(query_set.num_seqs):
-        strands = [False, True] if cfg.both_strands else [False]
+    strands = [False, True] if cfg.both_strands else [False]
+
+    def _emit(qi: int, rev: bool, m, qoff: int) -> None:
+        nonlocal total
+        order = np.lexsort((m.refpos, m.qpos))
+        refpos, qpos, length = (m.refpos[order], m.qpos[order] - qoff,
+                                m.length[order])
+        seq_id, local = ref_set.locate_in_text(refpos, rstarts)
+        per_query.append(QueryMatches(
+            query_name=query_set.names[qi], reverse=rev,
+            ref_seq=seq_id, ref_pos=local, q_pos=qpos, length=length))
+        total += int(length.size)
+
+    if cfg.mode == MatchMode.MEM and query_set.num_seqs > 1:
+        # MEM needs no per-sequence uniqueness state: all query sequences
+        # join into one separator-delimited text per strand — one engine
+        # dispatch instead of one per sequence (BASELINE config #2 shape).
+        by_strand: dict[bool, tuple] = {}
         for rev in strands:
-            qcodes = query_set.sequence(qi).codes
             if rev:
-                qcodes = revcomp_codes(qcodes)
-            qbp += len(qcodes)
-            with log.phase("query", bp=len(qcodes),
-                           seq=query_set.names[qi], reverse=rev):
-                m = _search_one(index, qcodes, cfg, mesh=mesh)
-            order = np.lexsort((m.refpos, m.qpos))
-            refpos, qpos, length = m.refpos[order], m.qpos[order], m.length[order]
-            seq_id, local = ref_set.locate_in_text(refpos, rstarts)
-            per_query.append(QueryMatches(
-                query_name=query_set.names[qi], reverse=rev,
-                ref_seq=seq_id, ref_pos=local, q_pos=qpos, length=length))
-            total += int(length.size)
+                parts = [revcomp_codes(query_set.sequence(qi).codes)
+                         for qi in range(query_set.num_seqs)]
+                rev_set = FastaSet(names=query_set.names,
+                                   starts=query_set.starts,
+                                   lengths=query_set.lengths,
+                                   codes=np.concatenate(parts))
+                qtext, qstarts = rev_set.with_separators()
+            else:
+                qtext, qstarts = query_set.with_separators()
+            qbp += int(query_set.lengths.sum())
+            with log.phase("query", bp=len(qtext), reverse=rev,
+                           seqs=query_set.num_seqs):
+                m = _search_one(index, qtext, cfg, mesh=mesh)
+            seq_of_match = (np.searchsorted(qstarts, m.qpos, side="right")
+                            - 1)
+            by_strand[rev] = (m, seq_of_match, qstarts)
+        for qi in range(query_set.num_seqs):  # reference emission order
+            for rev in strands:
+                m, seq_of_match, qstarts = by_strand[rev]
+                sel = seq_of_match == qi
+                sub = seed_mode.SeedMatches(
+                    m.refpos[sel], m.qpos[sel], m.length[sel])
+                _emit(qi, rev, sub, int(qstarts[qi]))
+    else:
+        for qi in range(query_set.num_seqs):
+            for rev in strands:
+                qcodes = query_set.sequence(qi).codes
+                if rev:
+                    qcodes = revcomp_codes(qcodes)
+                qbp += len(qcodes)
+                with log.phase("query", bp=len(qcodes),
+                               seq=query_set.names[qi], reverse=rev):
+                    m = _search_one(index, qcodes, cfg, mesh=mesh)
+                _emit(qi, rev, m, 0)
     t_query = time.perf_counter() - t1
     stats = {
         "index_build_s": t_build,
