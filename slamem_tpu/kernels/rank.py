@@ -62,20 +62,20 @@ def _rank_kernel(pos_smem, chars_vmem, pos_vmem, bwt_hbm, ckpt_hbm, out_ref,
 
     jax.lax.fori_loop(0, TILE, wait, 0)
 
-    chars = chars_vmem[:]                       # (TILE,) int32
+    chars = chars_vmem[:]                       # (TILE,) uint32
     within = jax.lax.rem(pos_vmem[:], jnp.int32(occ_block))
     # The BWT arrives as little-endian uint32 words (4 symbols per word,
-    # packed outside the kernel): unpack with integer shifts — Mosaic has no
-    # uint8 vector widening.
+    # packed outside the kernel): unpack with integer shifts and compare in
+    # uint32 throughout — Mosaic's unsigned<->signed vector converts recurse.
     words = blocks[:]                           # (TILE, occ_block // 4)
     hits = jnp.zeros((TILE,), jnp.int32)
     for byte in range(4):
-        sub = ((words >> (8 * byte)) & 0xFF).astype(jnp.int32)
+        sub = (words >> (8 * byte)) & jnp.uint32(0xFF)
         lane_b = (jax.lax.broadcasted_iota(
             jnp.int32, (TILE, words_per_block), 1) * 4 + byte)
         hit = (sub == chars[:, None]) & (lane_b < within[:, None])
         hits = hits + jnp.sum(jnp.where(hit, 1, 0), axis=1, dtype=jnp.int32)
-    onehot = (jax.lax.broadcasted_iota(jnp.int32, (TILE, 4), 1)
+    onehot = (jax.lax.broadcasted_iota(jnp.uint32, (TILE, 4), 1)
               == chars[:, None])
     base = jnp.sum(jnp.where(onehot, ckrows[:], 0), axis=1, dtype=jnp.int32)
     out_ref[:] = base + hits
@@ -130,7 +130,7 @@ def rank_pallas(index: FMIndex, chars: jax.Array, positions: jax.Array,
     b = int(chars.shape[0])
     bp = -(-b // TILE) * TILE
     cpad = jnp.concatenate(
-        [chars.astype(jnp.int32), jnp.zeros((bp - b,), jnp.int32)])
+        [chars.astype(jnp.uint32), jnp.zeros((bp - b,), jnp.uint32)])
     ppad = jnp.concatenate(
         [positions.astype(jnp.int32), jnp.zeros((bp - b,), jnp.int32)])
     out = rank_pallas_padded(bwt_words, index.occ_ckpt, cpad, ppad, B,
