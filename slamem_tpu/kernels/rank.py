@@ -74,10 +74,15 @@ def _rank_kernel(pos_smem, chars_vmem, pos_vmem, bwt_hbm, ckpt_hbm, out_ref,
         lane_b = (jax.lax.broadcasted_iota(
             jnp.int32, (TILE, words_per_block), 1) * 4 + byte)
         hit = (sub == chars[:, None]) & (lane_b < within[:, None])
-        hits = hits + jnp.sum(jnp.where(hit, 1, 0), axis=1, dtype=jnp.int32)
+        one = jnp.ones((TILE, words_per_block), jnp.int32)
+        zero = jnp.zeros((TILE, words_per_block), jnp.int32)
+        hits = hits + jnp.sum(jnp.where(hit, one, zero), axis=1,
+                              dtype=jnp.int32)
     onehot = (jax.lax.broadcasted_iota(jnp.uint32, (TILE, 4), 1)
               == chars[:, None])
-    base = jnp.sum(jnp.where(onehot, ckrows[:], 0), axis=1, dtype=jnp.int32)
+    base = jnp.sum(jnp.where(onehot, ckrows[:],
+                             jnp.zeros((TILE, 4), jnp.int32)),
+                   axis=1, dtype=jnp.int32)
     out_ref[:] = base + hits
 
 

@@ -127,3 +127,23 @@ def test_property_random(seed):
     L = int(rng.integers(8, 14))
     mode = [MatchMode.MEM, MatchMode.MAM, MatchMode.MUM][seed % 3]
     check(ref, qry, Config(min_length=L, mode=mode))
+
+
+def test_all_n_query():
+    ref = random_genome(500, seed=200)
+    qry = np.full(300, 4, np.uint8)  # all N
+    check(ref, qry, Config(min_length=10))
+
+
+def test_tiny_reference():
+    ref = str_to_codes("ACGT")  # shorter than K
+    qry = random_genome(100, seed=201)
+    check(ref, qry, Config(min_length=4))
+    check(ref, qry, Config(min_length=2))
+
+
+def test_query_shorter_than_l():
+    ref = random_genome(400, seed=202)
+    qry = ref[:8].copy()
+    check(ref, qry, Config(min_length=10))  # no window fits -> no matches
+    check(ref, qry, Config(min_length=8))   # exactly one window
