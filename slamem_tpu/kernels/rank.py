@@ -106,8 +106,10 @@ def rank_pallas_padded(bwt_words: jax.Array, occ_ckpt: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE,), lambda i: (i,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            # HBM pinned: ANY lets the compiler pull the checkpoint table
+            # into VMEM, where dynamic row slices hit 1024-tiling alignment
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((TILE,), lambda i: (i,),
                                memory_space=pltpu.VMEM),
