@@ -10,7 +10,14 @@ checkpoint row (16 B) + one block (128 B) — the design roofline of
 BASELINE's "rank-query inner loop".
 
 The jnp reference implementation is index.build.rank_batch; equivalence is
-tested in interpret mode on CPU and compiled on TPU.
+tested in interpret mode on CPU.
+
+KNOWN LIMITATION (this sandbox's jax 0.9 / Mosaic): compiled-mode lowering
+rejects per-lane dynamic DMAs from 1D arrays ("slice shape along dimension 0
+must be aligned to tiling (1024)"), so the compiled path is currently gated
+off; the scan engine uses the XLA rank_batch, which fuses the same
+gather+compare+reduce. Revisit when Mosaic grows unaligned 1D DMA or by
+re-blocking the BWT into lane-aligned 2D rows.
 """
 
 from __future__ import annotations
