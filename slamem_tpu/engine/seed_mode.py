@@ -368,16 +368,8 @@ def _expand_block_core(sa, rowvalid, lo_full, w_full, start, limit, diag_mod,
     return _expand_sort_core(sa, rowvalid, lo, w, qpos0, diag_mod, capacity)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("capacity", "run_capacity", "block"))
-def expand_block_to_runs(sa, rowvalid, lo_full, w_full, start, limit,
-                         m_off, capacity: int, run_capacity: int,
-                         block: int):
-    """Fixed-shape MEM fast path, int32 end to end: expansion, pair sort and
-    run compaction without one 64-bit value; only run boundaries (3 int32
-    arrays of run_capacity) leave the device."""
-    lo, w, qpos0 = _block_slices(lo_full, w_full, start, limit, block)
-    d_s, q_s = _expand_pairs_core(sa, rowvalid, lo, w, qpos0, m_off, capacity)
+def _compact_pair_runs(d_s, q_s, run_capacity: int):
+    """Sorted (diag, qpos) pairs -> run boundary triples, all int32."""
     valid = d_s != _I32MAX
     pd = jnp.concatenate([jnp.full((1,), -2, jnp.int32), d_s[:-1]])
     pq = jnp.concatenate([jnp.full((1,), -2, jnp.int32), q_s[:-1]])
@@ -394,6 +386,46 @@ def expand_block_to_runs(sa, rowvalid, lo_full, w_full, start, limit,
     run_qe = jnp.full((run_capacity,), -1, jnp.int32).at[
         jnp.where(is_end, ridx, drop)].set(q_s, mode="drop")
     return run_d, run_qs, run_qe, jnp.sum(is_start), jnp.sum(valid)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("capacity", "run_capacity", "block"))
+def expand_block_to_runs(sa, rowvalid, lo_full, w_full, start, limit,
+                         m_off, capacity: int, run_capacity: int,
+                         block: int):
+    """Fixed-shape MEM fast path, int32 end to end: expansion, pair sort and
+    run compaction without one 64-bit value; only run boundaries (3 int32
+    arrays of run_capacity) leave the device."""
+    lo, w, qpos0 = _block_slices(lo_full, w_full, start, limit, block)
+    d_s, q_s = _expand_pairs_core(sa, rowvalid, lo, w, qpos0, m_off, capacity)
+    return _compact_pair_runs(d_s, q_s, run_capacity)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "capacity", "run_capacity"))
+def fused_query(refk, rowvalid, sa, qt, k: int, capacity: int,
+                run_capacity: int):
+    """Whole MEM query in ONE dispatch for the common single-round case.
+
+    Packs K-mers, joins intervals, expands, sorts and compacts runs
+    optimistically against the full capacity; the host fetches three scalars
+    and, when total pairs <= capacity and runs <= run_capacity, only the run
+    triples — two round trips for the entire query. On overflow the returned
+    (lo, width, cum, summary) device arrays feed the planned multi-round
+    path with no recomputation.
+    """
+    qk, qvalid = packed_kmers(qt, k)
+    lo, width = _join_intervals(refk, qk, qvalid)
+    cum = jnp.cumsum(width.astype(jnp.int64))
+    summary = jnp.stack([cum[-1], jnp.max(width).astype(jnp.int64)])
+    m = qt.shape[0]
+    m_off = jnp.int32(m + 1)  # diag_mod = 2m + 2 convention
+    qpos0 = jnp.arange(m, dtype=jnp.int32)
+    d_s, q_s = _expand_pairs_core(sa, rowvalid, lo, width, qpos0, m_off,
+                                  capacity)
+    run_d, run_qs, run_qe, n_runs, n_pairs = _compact_pair_runs(
+        d_s, q_s, run_capacity)
+    return lo, width, cum, summary, run_d, run_qs, run_qe, n_runs
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "block"))
@@ -536,6 +568,27 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     qp = pad_query(query_text)
     m_p = int(qp.shape[0])
     refk, rowvalid = seed_table(index, k)
+    capacity = int(cfg.pair_capacity)
+    run_cap = max(4096, capacity // 16)
+    if cfg.mode.value == "mem" and (mesh is None
+                                    or len(mesh.devices.flat) == 1):
+        # optimistic single-dispatch fast path (overflow falls through)
+        lo, width, cum, summary, run_d, run_qs, run_qe, n_runs = fused_query(
+            refk, rowvalid, index.sa, jnp.asarray(qp), k, capacity, run_cap)
+        scalars = np.asarray(jnp.stack(
+            [summary[0], summary[1], n_runs.astype(jnp.int64)]))
+        total, _max_w, nr = int(scalars[0]), int(scalars[1]), int(scalars[2])
+        if total <= capacity and nr <= run_cap:
+            runs = runs_from_compacted32(
+                np.asarray(run_d), np.asarray(run_qs), np.asarray(run_qe),
+                nr, m_p + 1)
+            length = runs.qend - runs.qstart + k
+            keep = length >= cfg.min_length
+            return SeedMatches(refpos=(runs.diag + runs.qstart)[keep],
+                               qpos=runs.qstart[keep], length=length[keep])
+        return pairs_to_matches(index, lo, width, k, m_p, cfg, mesh,
+                                rowvalid, cum=cum,
+                                summary=scalars[:2])
     lo, width, cum, summary = query_frontend(refk, jnp.asarray(qp), k)
     return pairs_to_matches(index, lo, width, k, m_p, cfg, mesh, rowvalid,
                             cum=cum, summary=np.asarray(summary))
