@@ -275,76 +275,6 @@ def plan_blocks_on_device(cum: jax.Array, summary: np.ndarray, capacity: int,
     return blocks
 
 
-@functools.partial(jax.jit, static_argnames=("capacity", "run_capacity"))
-def expand_to_runs(sa: jax.Array, rowvalid: jax.Array, lo: jax.Array,
-                   width: jax.Array, qpos0: jax.Array, diag_mod: jax.Array,
-                   capacity: int, run_capacity: int):
-    """Expansion + sort + ON-DEVICE run compaction (MEM-mode fast path).
-
-    Only run boundary keys leave the device (2 * run_capacity int64 instead
-    of `capacity`), which matters on tunneled backends where host transfers
-    dominate. Returns (start_keys, end_keys, n_runs, n_pairs); n_runs >
-    run_capacity signals overflow and the caller falls back to the full-key
-    path for that block.
-    """
-    keys = _expand_sort_core(sa, rowvalid, lo, width, qpos0, diag_mod,
-                             capacity)
-    return _compact_runs(keys, run_capacity)
-
-
-def _compact_runs(keys: jax.Array, run_capacity: int):
-    valid = keys != _I64MAX
-    prev = jnp.concatenate([jnp.full((1,), -2, jnp.int64), keys[:-1]])
-    nxt = jnp.concatenate([keys[1:], jnp.full((1,), -2, jnp.int64)])
-    is_start = valid & (keys != prev + 1)
-    is_end = valid & (keys != nxt - 1)
-    ridx = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-    drop = jnp.int32(run_capacity)
-    starts = jnp.full((run_capacity,), -1, jnp.int64).at[
-        jnp.where(is_start, ridx, drop)].set(keys, mode="drop")
-    ends = jnp.full((run_capacity,), -1, jnp.int64).at[
-        jnp.where(is_end, ridx, drop)].set(keys, mode="drop")
-    return starts, ends, jnp.sum(is_start), jnp.sum(valid)
-
-
-def runs_from_compacted(starts: np.ndarray, ends: np.ndarray, n_runs: int,
-                        diag_mod: int) -> RunBatch:
-    """Decode device-compacted int64 run boundary keys into a RunBatch."""
-    s = starts[:n_runs]
-    e = ends[:n_runs]
-    m_off = diag_mod // 2
-    qstart = s % diag_mod
-    diag = s // diag_mod - m_off
-    qend = e % diag_mod
-    return RunBatch(diag, qstart, qend)
-
-
-def runs_from_compacted32(run_d: np.ndarray, run_qs: np.ndarray,
-                          run_qe: np.ndarray, n_runs: int,
-                          m_off: int) -> RunBatch:
-    """Decode device-compacted int32 run triples into a RunBatch."""
-    return RunBatch((run_d[:n_runs] - m_off).astype(np.int64),
-                    run_qs[:n_runs].astype(np.int64),
-                    run_qe[:n_runs].astype(np.int64))
-
-
-@functools.partial(jax.jit, static_argnames=("capacity",))
-def expand_and_sort(sa: jax.Array, rowvalid: jax.Array, lo: jax.Array,
-                    width: jax.Array, qpos0: jax.Array, diag_mod: jax.Array,
-                    capacity: int) -> jax.Array:
-    """Expand one block of intervals into sorted packed (diag, qpos) keys.
-
-    All shapes static: ragged expansion is done by inverting the cumulative
-    width with a searchsorted over slot ids; slots beyond the block's total
-    and pairs whose ref window is invalid become int64-max sentinels that
-    sort to the tail. key = (refpos - qpos + m_off) * diag_mod + qpos, chosen
-    so consecutive qpos on one diagonal differ by exactly 1 and diagonals
-    never alias (diag_mod > max qpos + 1).
-    """
-    return _expand_sort_core(sa, rowvalid, lo, width, qpos0, diag_mod,
-                             capacity)
-
-
 def _block_slices(lo_full, w_full, start, limit, block: int):
     """Fixed-shape block slicing: slice [start, start+block) inside the
     program (lax.dynamic_slice) so every round reuses ONE compilation —
@@ -476,6 +406,15 @@ def runs_from_sorted_keys(sorted_keys: np.ndarray, diag_mod: int, k: int,
     pair_refpos = (keys // diag_mod - m_off) + pair_qpos
     pair_ext = k + qend[run_id] - pair_qpos
     return RunBatch(diag, qstart, qend, pair_qpos, pair_refpos, pair_ext)
+
+
+def runs_from_compacted32(run_d: np.ndarray, run_qs: np.ndarray,
+                          run_qe: np.ndarray, n_runs: int,
+                          m_off: int) -> RunBatch:
+    """Decode device-compacted int32 run triples into a RunBatch."""
+    return RunBatch((run_d[:n_runs].astype(np.int64) - m_off),
+                    run_qs[:n_runs].astype(np.int64),
+                    run_qe[:n_runs].astype(np.int64))
 
 
 def merge_runs(batches: list[RunBatch]) -> RunBatch:
