@@ -122,6 +122,81 @@ def seed_intervals(refk: jax.Array, qk: jax.Array, qvalid: jax.Array
 
 _I32MAX = np.iinfo(np.int32).max
 
+_bucket_cache: dict[tuple[int, int], tuple] = {}
+
+
+@functools.partial(jax.jit, static_argnames=("bbits", "shift"))
+def _build_bucket_table(refk: jax.Array, bbits: int, shift: int):
+    """Prefix-bucket starts over the sorted K-mer table.
+
+    starts[b] = first SA row whose K-mer prefix (top bbits) >= b, via
+    scatter-min + reverse cummin — one pass over n. With the table sorted,
+    [starts[b], starts[b+1]) brackets every K-mer in bucket b, so per-query
+    binary search needs only log2(max bucket) probes instead of log2(n).
+    """
+    n = refk.shape[0]
+    nb = 1 << bbits
+    pref = jax.lax.shift_right_logical(
+        refk, jnp.asarray(shift, refk.dtype)).astype(jnp.int32)
+    starts = jnp.full((nb + 1,), n, jnp.int32).at[
+        jnp.clip(pref, 0, nb - 1)].min(jnp.arange(n, dtype=jnp.int32))
+    starts = jax.lax.cummin(starts, reverse=True)
+    max_bucket = jnp.max(starts[1:] - starts[:-1])
+    return starts, max_bucket
+
+
+def bucket_table(index: FMIndex, k: int):
+    """(starts, shift, probes) for the bucket frontend, cached per index."""
+    key = (id(index.sa), k)
+    hit = _bucket_cache.get(key)
+    if hit is not None and hit[0] is index.sa:
+        return hit[1], hit[2], hit[3]
+    refk, _ = seed_table(index, k)
+    bbits = min(2 * k, 24)
+    shift = 2 * k - bbits
+    starts, max_bucket = _build_bucket_table(refk, bbits, shift)
+    probes = max(1, int(np.ceil(np.log2(max(int(max_bucket), 2)))) + 1)
+    if len(_bucket_cache) > 8:
+        _bucket_cache.clear()
+    _bucket_cache[key] = (index.sa, starts, shift, probes)
+    return starts, shift, probes
+
+
+def _bucket_intervals(refk: jax.Array, starts: jax.Array, qk: jax.Array,
+                      qvalid: jax.Array, shift: int, probes: int):
+    """Per-query interval bounds via bucket bracket + bounded binary search.
+
+    Cost: 2 gathers into the bucket table + 2*probes gathers into refk per
+    query — independent of n. Beats the combined-sort join when the
+    reference table is much larger than the query batch (chr scale), where
+    re-sorting n + m entries per query dominates.
+    """
+    n = refk.shape[0]
+    b = jax.lax.shift_right_logical(
+        qk, jnp.asarray(shift, qk.dtype)).astype(jnp.int32)
+    lo0 = starts[b]
+    hi0 = starts[b + 1]
+
+    def search(side_left):
+        lo = lo0
+        hi = hi0
+        for _ in range(probes):
+            mid = (lo + hi) // 2
+            v = refk[jnp.clip(mid, 0, n - 1)]
+            if side_left:
+                go = v < qk
+            else:
+                go = v <= qk
+            go = go & (lo < hi)
+            lo = jnp.where(go, mid + 1, lo)
+            hi = jnp.where(go | (lo >= hi), hi, mid)
+        return lo
+
+    left = search(True)
+    right = search(False)
+    width = jnp.where(qvalid, right - left, 0).astype(jnp.int32)
+    return left.astype(jnp.int32), width
+
 
 def _expand_pairs_core(sa: jax.Array, rowvalid: jax.Array, lo: jax.Array,
                        width: jax.Array, qpos0: jax.Array, m_off: jax.Array,
@@ -331,6 +406,19 @@ def expand_block_to_runs(sa, rowvalid, lo_full, w_full, start, limit,
     return _compact_pair_runs(d_s, q_s, run_capacity)
 
 
+def _fused_tail(lo, width, sa, rowvalid, m, capacity: int,
+                run_capacity: int):
+    cum = jnp.cumsum(width.astype(jnp.int64))
+    summary = jnp.stack([cum[-1], jnp.max(width).astype(jnp.int64)])
+    m_off = jnp.int32(m + 1)  # diag_mod = 2m + 2 convention
+    qpos0 = jnp.arange(m, dtype=jnp.int32)
+    d_s, q_s = _expand_pairs_core(sa, rowvalid, lo, width, qpos0, m_off,
+                                  capacity)
+    run_d, run_qs, run_qe, n_runs, _n_pairs = _compact_pair_runs(
+        d_s, q_s, run_capacity)
+    return lo, width, cum, summary, run_d, run_qs, run_qe, n_runs
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "capacity", "run_capacity"))
 def fused_query(refk, rowvalid, sa, qt, k: int, capacity: int,
@@ -346,16 +434,21 @@ def fused_query(refk, rowvalid, sa, qt, k: int, capacity: int,
     """
     qk, qvalid = packed_kmers(qt, k)
     lo, width = _join_intervals(refk, qk, qvalid)
-    cum = jnp.cumsum(width.astype(jnp.int64))
-    summary = jnp.stack([cum[-1], jnp.max(width).astype(jnp.int64)])
-    m = qt.shape[0]
-    m_off = jnp.int32(m + 1)  # diag_mod = 2m + 2 convention
-    qpos0 = jnp.arange(m, dtype=jnp.int32)
-    d_s, q_s = _expand_pairs_core(sa, rowvalid, lo, width, qpos0, m_off,
-                                  capacity)
-    run_d, run_qs, run_qe, n_runs, n_pairs = _compact_pair_runs(
-        d_s, q_s, run_capacity)
-    return lo, width, cum, summary, run_d, run_qs, run_qe, n_runs
+    return _fused_tail(lo, width, sa, rowvalid, qt.shape[0], capacity,
+                       run_capacity)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "capacity", "run_capacity", "shift",
+                                    "probes"))
+def fused_query_bucket(refk, starts, rowvalid, sa, qt, k: int, capacity: int,
+                       run_capacity: int, shift: int, probes: int):
+    """fused_query with the bucket frontend — for references much larger
+    than the query batch, where the join would re-sort n + m entries."""
+    qk, qvalid = packed_kmers(qt, k)
+    lo, width = _bucket_intervals(refk, starts, qk, qvalid, shift, probes)
+    return _fused_tail(lo, width, sa, rowvalid, qt.shape[0], capacity,
+                       run_capacity)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "block"))
@@ -511,9 +604,20 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     run_cap = max(4096, capacity // 16)
     if cfg.mode.value == "mem" and (mesh is None
                                     or len(mesh.devices.flat) == 1):
-        # optimistic single-dispatch fast path (overflow falls through)
-        lo, width, cum, summary, run_d, run_qs, run_qe, n_runs = fused_query(
-            refk, rowvalid, index.sa, jnp.asarray(qp), k, capacity, run_cap)
+        # optimistic single-dispatch fast path (overflow falls through);
+        # bucket frontend when the table dwarfs the query batch (the join
+        # re-sorts n + m entries, the bucket search is O(m log maxbucket))
+        if index.n > 2 * m_p:
+            starts, shift, probes = bucket_table(index, k)
+            (lo, width, cum, summary, run_d, run_qs, run_qe,
+             n_runs) = fused_query_bucket(
+                refk, starts, rowvalid, index.sa, jnp.asarray(qp), k,
+                capacity, run_cap, shift, probes)
+        else:
+            (lo, width, cum, summary, run_d, run_qs, run_qe,
+             n_runs) = fused_query(
+                refk, rowvalid, index.sa, jnp.asarray(qp), k, capacity,
+                run_cap)
         scalars = np.asarray(jnp.stack(
             [summary[0], summary[1], n_runs.astype(jnp.int64)]))
         total, _max_w, nr = int(scalars[0]), int(scalars[1]), int(scalars[2])

@@ -147,3 +147,31 @@ def test_query_shorter_than_l():
     qry = ref[:8].copy()
     check(ref, qry, Config(min_length=10))  # no window fits -> no matches
     check(ref, qry, Config(min_length=8))   # exactly one window
+
+
+def test_bucket_frontend_large_ref():
+    # n > 2*m triggers the bucket frontend; parity vs oracle proves it
+    ref = random_genome(6000, seed=210)
+    qry = mutate(ref, 0.02, 0.002, seed=211)[:1000]
+    check(ref, qry, Config(min_length=12))
+    check(with_n_runs(ref, 4, 50, seed=212), qry, Config(min_length=12))
+
+
+def test_bucket_vs_join_identical():
+    from slamem_tpu.engine.seed_mode import (
+        bucket_table, packed_kmers, seed_table, _bucket_intervals,
+        _join_intervals)
+    import jax.numpy as jnp
+
+    ref = with_n_runs(random_genome(8000, seed=213), 3, 60, seed=214)
+    qry = mutate(ref, 0.03, 0.003, seed=215)[:2000]
+    idx = build_index(ref)
+    k = 12
+    refk, _ = seed_table(idx, k)
+    qk, qv = packed_kmers(jnp.asarray(qry, np.uint8), k)
+    lo_j, w_j = _join_intervals(refk, qk, qv)
+    starts, shift, probes = bucket_table(idx, k)
+    lo_b, w_b = _bucket_intervals(refk, starts, qk, qv, shift, probes)
+    assert np.array_equal(np.asarray(w_j), np.asarray(w_b))
+    sel = np.asarray(w_j) > 0
+    assert np.array_equal(np.asarray(lo_j)[sel], np.asarray(lo_b)[sel])
