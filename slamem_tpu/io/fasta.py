@@ -158,9 +158,15 @@ def parse_fasta_bytes(buf: bytes, source: str = "<bytes>") -> FastaSet:
 
 
 def read_fasta(path: str | os.PathLike) -> FastaSet:
-    """Read a (multi-)FASTA file. Uses the native parser when available."""
+    """Read a (multi-)FASTA file, transparently gunzipping .gz inputs.
+
+    Uses the native parser when available (slamem_tpu/_native)."""
     with open(path, "rb") as f:
         buf = f.read()
+    if buf[:2] == b"\x1f\x8b":  # gzip magic
+        import gzip
+
+        buf = gzip.decompress(buf)
     try:  # optional C fast path (slamem_tpu/_native); identical contract
         from slamem_tpu._native import fastaio as _native  # type: ignore
 

@@ -53,3 +53,13 @@ def test_roundtrip_file(tmp_path):
 def test_revcomp():
     assert codes_to_str(revcomp_codes(str_to_codes("ACGTN"))) == "NACGT"
     assert codes_to_str(revcomp_codes(str_to_codes("AAAC"))) == "GTTT"
+
+
+def test_read_gzip(tmp_path):
+    import gzip
+
+    p = tmp_path / "t.fa.gz"
+    p.write_bytes(gzip.compress(b">z\nACGTNN\n"))
+    fs = read_fasta(p)
+    assert fs.names == ["z"]
+    assert codes_to_str(fs.sequence(0).codes) == "ACGTNN"
