@@ -4,7 +4,8 @@ This replaces the reference's sequential right-to-left backward-search loop
 (SURVEY.md §3.2) with a fully data-parallel formulation whose every stage is
 a batched gather / sort / scan XLA maps directly onto TPU hardware:
 
-  1. pack every query position's K-mer (K = min(L, cap)) into an int64;
+  1. pack every query position's K-mer (K = min(L, cap)) into a uint32
+     word (int64 when K > 16);
   2. find its suffix-array interval by vectorized sorted search against the
      packed K-mers of the reference in SA order (one monotone table);
   3. expand intervals into (diagonal, qpos) candidate pairs under a fixed
@@ -29,6 +30,13 @@ the occurrences of a match's full string in the reference are exactly the
 pairs at its start qpos whose run extends at least as far right — an
 equality-keyed count answered by two vectorized searchsorteds, no index
 walk needed.
+
+Interval frontends (all exact, one shared backend):
+  * sort-join (`_join_intervals`) — one combined variadic sort; best when
+    table and query batch are comparable sizes;
+  * bucket search (`_bucket_intervals`) — prefix-bucket bracket + bounded
+    binary search; best when the table dwarfs the query batch;
+  * FM backward scan (engine/scan_mode.py) — survey §3.2 parity engine.
 """
 
 from __future__ import annotations
@@ -55,7 +63,7 @@ _I64MAX = np.iinfo(np.int64).max
 def packed_kmers(text: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     """(packed, valid) for every position of a code text.
 
-    packed[i] = the K chars from i as a base-4 int64, truncated at the first
+    packed[i] = the K chars from i as a base-4 word, truncated at the first
     special (N/SEP/end): chars from the first special onward contribute 0.
     valid[i] = window [i, i+k) lies inside the text and contains no special.
 
