@@ -462,9 +462,18 @@ def fused_query_bucket(refk, starts, rowvalid, sa, qt, k: int, capacity: int,
 @functools.partial(jax.jit, static_argnames=("capacity", "block"))
 def expand_block_and_sort(sa, rowvalid, lo_full, w_full, start, limit,
                           diag_mod, capacity: int, block: int):
-    """Fixed-shape variant of expand_and_sort (full-key path)."""
+    """Fixed-shape int64-key expansion (dist wire format)."""
     return _expand_block_core(sa, rowvalid, lo_full, w_full, start, limit,
                               diag_mod, capacity, block)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "block"))
+def expand_block_pairs(sa, rowvalid, lo_full, w_full, start, limit,
+                       m_off, capacity: int, block: int):
+    """Fixed-shape expansion returning sorted int32 (diag', qpos) pairs —
+    the overflow / MUM/MAM path (per-pair data must reach the host)."""
+    lo, w, qpos0 = _block_slices(lo_full, w_full, start, limit, block)
+    return _expand_pairs_core(sa, rowvalid, lo, w, qpos0, m_off, capacity)
 
 
 # ---------------------------------------------------------------------------
@@ -481,6 +490,31 @@ class RunBatch:
     pair_qpos: np.ndarray | None = None   # per-pair: query position
     pair_refpos: np.ndarray | None = None  # per-pair: ref position
     pair_ext: np.ndarray | None = None    # per-pair: match length from pair
+
+
+def runs_from_sorted_pairs(d: np.ndarray, q: np.ndarray, m_off: int, k: int,
+                           want_pairs: bool) -> RunBatch:
+    """Decode sorted int32 (diag', qpos) pairs into maximal runs."""
+    sel = d != np.iinfo(np.int32).max
+    d = d[sel].astype(np.int64) - m_off
+    q = q[sel].astype(np.int64)
+    if d.size == 0:
+        e = np.zeros(0, np.int64)
+        return RunBatch(e, e, e.copy(),
+                        *((e, e, e) if want_pairs else (None, None, None)))
+    brk = np.empty(d.size, dtype=bool)
+    brk[0] = True
+    brk[1:] = (d[1:] != d[:-1]) | (q[1:] != q[:-1] + 1)
+    starts = np.flatnonzero(brk)
+    ends = np.append(starts[1:], d.size)  # exclusive
+    diag = d[starts]
+    qstart = q[starts]
+    qend = qstart + (ends - starts - 1)
+    if not want_pairs:
+        return RunBatch(diag, qstart, qend)
+    run_id = np.cumsum(brk) - 1
+    pair_ext = k + qend[run_id] - q
+    return RunBatch(diag, qstart, qend, q, d + q, pair_ext)
 
 
 def runs_from_sorted_keys(sorted_keys: np.ndarray, diag_mod: int, k: int,
@@ -684,6 +718,9 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
     def _consume(sorted_keys_host: np.ndarray) -> None:
         batch = runs_from_sorted_keys(sorted_keys_host, int(diag_mod), k,
                                       want_pairs)
+        _collect(batch)
+
+    def _collect(batch: RunBatch) -> None:
         if want_pairs and batch.pair_qpos is not None:
             pair_chunks.append(
                 (batch.pair_qpos, batch.pair_refpos, batch.pair_ext))
@@ -716,19 +753,26 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                     batches.append(runs_from_compacted32(
                         run_d_all[r], run_qs_all[r], run_qe_all[r], n_runs,
                         int(diag_mod) // 2))
-                else:  # overflow: full-key fallback for this block only
-                    sorted_keys = expand_block_and_sort(
+                else:  # run-capacity overflow: fetch this block's pairs
+                    d_s, q_s = expand_block_pairs(
                         index.sa, rowvalid, lo_ext, w_ext,
                         jnp.asarray(start, jnp.int64),
-                        jnp.asarray(end, jnp.int64), dmod, capacity, block)
-                    _consume(np.asarray(sorted_keys))
+                        jnp.asarray(end, jnp.int64), m_off32, capacity,
+                        block)
+                    _collect(runs_from_sorted_pairs(
+                        np.asarray(d_s), np.asarray(q_s),
+                        int(diag_mod) // 2, k, want_pairs))
         else:
+            pend = []
             for start, end in blocks:
-                sorted_keys = expand_block_and_sort(
+                pend.append(expand_block_pairs(
                     index.sa, rowvalid, lo_ext, w_ext,
                     jnp.asarray(start, jnp.int64), jnp.asarray(end, jnp.int64),
-                    dmod, capacity, block)
-                _consume(np.asarray(sorted_keys))
+                    m_off32, capacity, block))
+            for d_s, q_s in pend:
+                _collect(runs_from_sorted_pairs(
+                    np.asarray(d_s), np.asarray(q_s), int(diag_mod) // 2, k,
+                    want_pairs))
     else:
         from slamem_tpu.dist.seed import sharded_expand_sort
 
