@@ -424,7 +424,15 @@ def _fused_tail(lo, width, sa, rowvalid, m, capacity: int,
                                   capacity)
     run_d, run_qs, run_qe, n_runs, _n_pairs = _compact_pair_runs(
         d_s, q_s, run_capacity)
-    return lo, width, cum, summary, run_d, run_qs, run_qe, n_runs
+    # single int32 wire: run triples + clipped scalars, ONE host transfer.
+    # (exact int64 cum/summary stay device-resident for the overflow path.)
+    i32max = jnp.int64(np.iinfo(np.int32).max)
+    packed = jnp.concatenate([
+        run_d, run_qs, run_qe,
+        jnp.stack([n_runs.astype(jnp.int32),
+                   jnp.minimum(summary[0], i32max).astype(jnp.int32),
+                   jnp.minimum(summary[1], i32max).astype(jnp.int32)])])
+    return lo, width, cum, summary, packed
 
 
 @functools.partial(jax.jit,
@@ -651,29 +659,26 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
         # re-sorts n + m entries, the bucket search is O(m log maxbucket))
         if index.n > 2 * m_p:
             starts, shift, probes = bucket_table(index, k)
-            (lo, width, cum, summary, run_d, run_qs, run_qe,
-             n_runs) = fused_query_bucket(
+            lo, width, cum, summary, packed = fused_query_bucket(
                 refk, starts, rowvalid, index.sa, jnp.asarray(qp), k,
                 capacity, run_cap, shift, probes)
         else:
-            (lo, width, cum, summary, run_d, run_qs, run_qe,
-             n_runs) = fused_query(
+            lo, width, cum, summary, packed = fused_query(
                 refk, rowvalid, index.sa, jnp.asarray(qp), k, capacity,
                 run_cap)
-        scalars = np.asarray(jnp.stack(
-            [summary[0], summary[1], n_runs.astype(jnp.int64)]))
-        total, _max_w, nr = int(scalars[0]), int(scalars[1]), int(scalars[2])
-        if total <= capacity and nr <= run_cap:
+        wire = np.asarray(packed)  # the one round trip
+        nr, total, max_w = (int(wire[-3]), int(wire[-2]), int(wire[-1]))
+        if total <= min(capacity, np.iinfo(np.int32).max - 1)                 and nr <= run_cap:
             runs = runs_from_compacted32(
-                np.asarray(run_d), np.asarray(run_qs), np.asarray(run_qe),
-                nr, m_p + 1)
+                wire[:run_cap], wire[run_cap:2 * run_cap],
+                wire[2 * run_cap:3 * run_cap], nr, m_p + 1)
             length = runs.qend - runs.qstart + k
             keep = length >= cfg.min_length
             return SeedMatches(refpos=(runs.diag + runs.qstart)[keep],
                                qpos=runs.qstart[keep], length=length[keep])
         return pairs_to_matches(index, lo, width, k, m_p, cfg, mesh,
                                 rowvalid, cum=cum,
-                                summary=scalars[:2])
+                                summary=np.asarray(summary))
     lo, width, cum, summary = query_frontend(refk, jnp.asarray(qp), k)
     return pairs_to_matches(index, lo, width, k, m_p, cfg, mesh, rowvalid,
                             cum=cum, summary=np.asarray(summary))
