@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from slamem_tpu.engine.seed_mode import _I64MAX, _expand_sort_core
+from slamem_tpu.engine.seed_mode import (_I64MAX, _expand_sort_core,
+                                          _I32MAX)
 
 try:  # jax >= 0.4.35 exposes shard_map at top level
     shard_map = jax.shard_map
@@ -30,9 +31,9 @@ except AttributeError:  # pragma: no cover
 def sharded_expand_sort(mesh: Mesh, sa: jax.Array, rowvalid: jax.Array,
                         lo_ext: jax.Array, w_ext: jax.Array,
                         starts: jax.Array, limits: jax.Array,
-                        diag_mod: jax.Array, capacity: int, block: int,
+                        m_off, capacity: int, block: int,
                         all_gather_keys: bool = False):
-    """Expand ndev fixed-size blocks at once -> [ndev, capacity] keys.
+    """Expand ndev fixed-size blocks at once -> [ndev, capacity] int32 pairs.
 
     lo_ext/w_ext are the full (block-padded) interval arrays, replicated;
     each shard receives only its (start, limit) scalars and slices its block
@@ -42,25 +43,29 @@ def sharded_expand_sort(mesh: Mesh, sa: jax.Array, rowvalid: jax.Array,
     multi-host runs where only host 0 formats output); the psum'd total pair
     count always rides along as the cross-shard statistic.
     """
-    from slamem_tpu.engine.seed_mode import _expand_block_core
+    from slamem_tpu.engine.seed_mode import _block_slices, _expand_pairs_core
 
-    def step(sa, rv, lo, w, st, lim, dmod):
-        keys = _expand_block_core(sa, rv, lo, w, st[0], lim[0], dmod,
-                                  capacity, block)
-        count = jnp.sum(keys != _I64MAX)
+    def step(sa, rv, lo, w, st, lim, m_off):
+        lo_b, w_b, qpos0 = _block_slices(lo, w, st[0], lim[0], block)
+        d_s, q_s = _expand_pairs_core(sa, rv, lo_b, w_b, qpos0, m_off,
+                                      capacity)
+        count = jnp.sum(d_s != _I32MAX)
         total = jax.lax.psum(count, "q")
         if all_gather_keys:
-            gathered = jax.lax.all_gather(keys, "q")  # [ndev, capacity]
-            return keys[None], total[None], gathered[None]
-        return keys[None], total[None]
+            gd = jax.lax.all_gather(d_s, "q")  # [ndev, capacity]
+            gq = jax.lax.all_gather(q_s, "q")
+            return d_s[None], q_s[None], total[None], gd[None], gq[None]
+        return d_s[None], q_s[None], total[None]
 
-    out_specs = ((P("q", None), P("q"), P("q", None, None))
-                 if all_gather_keys else (P("q", None), P("q")))
+    out_specs = ((P("q", None), P("q", None), P("q"), P("q", None, None),
+                  P("q", None, None))
+                 if all_gather_keys else (P("q", None), P("q", None),
+                                          P("q")))
     fn = shard_map(
         step, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P("q"), P("q"), P()),
         out_specs=out_specs)
-    return fn(sa, rowvalid, lo_ext, w_ext, starts, limits, diag_mod)
+    return fn(sa, rowvalid, lo_ext, w_ext, starts, limits, m_off)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "capacity"))

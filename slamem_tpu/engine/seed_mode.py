@@ -731,10 +731,10 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                 (batch.pair_qpos, batch.pair_refpos, batch.pair_ext))
         batches.append(batch)
 
+    run_cap = max(4096, capacity // 16)
+    dmod = jnp.asarray(diag_mod)
+    m_off32 = jnp.asarray(int(diag_mod) // 2, jnp.int32)
     if mesh is None or len(mesh.devices.flat) == 1:
-        run_cap = max(4096, capacity // 16)
-        dmod = jnp.asarray(diag_mod)
-        m_off32 = jnp.asarray(int(diag_mod) // 2, jnp.int32)
         if not want_pairs:
             # dispatch ALL rounds before fetching anything: device work and
             # host transfers pipeline instead of paying one round trip per
@@ -790,13 +790,15 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
             for d, (st, en) in enumerate(group):
                 starts[d] = st
                 limits[d] = en
-            keys, _total = sharded_expand_sort(
+            d_all, q_all, _total = sharded_expand_sort(
                 mesh, index.sa, rowvalid, lo_ext, w_ext,
                 jnp.asarray(starts), jnp.asarray(limits),
-                jnp.asarray(diag_mod), capacity, block)
-            keys_h = np.asarray(keys)
-            for d in range(len(group)):
-                _consume(keys_h[d])
+                m_off32, capacity, block)
+            d_h = np.asarray(d_all)
+            q_h = np.asarray(q_all)
+            for di in range(len(group)):
+                _collect(runs_from_sorted_pairs(
+                    d_h[di], q_h[di], int(diag_mod) // 2, k, want_pairs))
 
     runs = merge_runs(batches) if batches else RunBatch(
         np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64))
