@@ -2,10 +2,10 @@
 
 The FM-index arrays are replicated; query-position blocks stream data-parallel
 along the ``q`` mesh axis (BASELINE north star). Each device expands its block
-into sorted candidate keys; a psum merges the global candidate count (the
-cheap collective statistic) and the sorted key blocks are gathered for host
-run extraction. shard_map keeps per-device shapes static — the same
-_expand_sort_core as the single-chip path, no divergence between the two.
+into sorted (diag, qpos) int32 pairs; a psum merges the global candidate
+count (the cheap collective statistic) and the pair blocks are gathered for
+host run extraction. shard_map keeps per-device shapes static — the same
+expansion core as the single-chip path, no divergence between the two.
 """
 
 from __future__ import annotations
