@@ -93,36 +93,33 @@ def run_engine(ref_set: FastaSet, query_set: FastaSet, cfg: Config,
             ref_seq=seq_id, ref_pos=local, q_pos=qpos, length=length))
         total += int(length.size)
 
-    if cfg.mode == MatchMode.MEM and query_set.num_seqs > 1:
-        # MEM needs no per-sequence uniqueness state: all query sequences
-        # join into one separator-delimited text per strand — one engine
-        # dispatch instead of one per sequence (BASELINE config #2 shape).
-        by_strand: dict[bool, tuple] = {}
-        for rev in strands:
-            if rev:
-                parts = [revcomp_codes(query_set.sequence(qi).codes)
-                         for qi in range(query_set.num_seqs)]
-                rev_set = FastaSet(names=query_set.names,
-                                   starts=query_set.starts,
-                                   lengths=query_set.lengths,
-                                   codes=np.concatenate(parts))
-                qtext, qstarts = rev_set.with_separators()
-            else:
-                qtext, qstarts = query_set.with_separators()
-            qbp += int(query_set.lengths.sum())
-            with log.phase("query", bp=len(qtext), reverse=rev,
-                           seqs=query_set.num_seqs):
-                m = _search_one(index, qtext, cfg, mesh=mesh)
-            seq_of_match = (np.searchsorted(qstarts, m.qpos, side="right")
-                            - 1)
-            by_strand[rev] = (m, seq_of_match, qstarts)
-        for qi in range(query_set.num_seqs):  # reference emission order
-            for rev in strands:
-                m, seq_of_match, qstarts = by_strand[rev]
-                sel = seq_of_match == qi
-                sub = seed_mode.SeedMatches(
-                    m.refpos[sel], m.qpos[sel], m.length[sel])
-                _emit(qi, rev, sub, int(qstarts[qi]))
+    if cfg.mode == MatchMode.MEM and (query_set.num_seqs > 1
+                                      or cfg.both_strands):
+        # MEM needs no per-sequence uniqueness state: every (sequence,
+        # strand) combination joins into ONE separator-delimited text — a
+        # single engine dispatch for the whole request (BASELINE config #2
+        # shape; -b gets both strands in the same dispatch).
+        entries = [(qi, rev) for qi in range(query_set.num_seqs)
+                   for rev in strands]
+        parts = []
+        for qi, rev in entries:
+            codes = query_set.sequence(qi).codes
+            parts.append(revcomp_codes(codes) if rev else codes)
+        lengths = np.array([len(p) for p in parts], dtype=np.int64)
+        joined = FastaSet(
+            names=[f"{qi}/{rev}" for qi, rev in entries],
+            starts=np.concatenate(([0], np.cumsum(lengths)[:-1])),
+            lengths=lengths, codes=np.concatenate(parts))
+        qtext, qstarts = joined.with_separators()
+        qbp += int(lengths.sum())
+        with log.phase("query", bp=len(qtext), entries=len(entries)):
+            m = _search_one(index, qtext, cfg, mesh=mesh)
+        entry_of_match = np.searchsorted(qstarts, m.qpos, side="right") - 1
+        for e, (qi, rev) in enumerate(entries):  # reference emission order
+            sel = entry_of_match == e
+            sub = seed_mode.SeedMatches(
+                m.refpos[sel], m.qpos[sel], m.length[sel])
+            _emit(qi, rev, sub, int(qstarts[e]))
     else:
         for qi in range(query_set.num_seqs):
             for rev in strands:
