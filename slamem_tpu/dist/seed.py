@@ -28,7 +28,7 @@ except AttributeError:  # pragma: no cover
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "capacity", "block",
                                     "all_gather_keys"))
-def sharded_expand_sort(mesh: Mesh, sa: jax.Array, rowvalid: jax.Array,
+def sharded_expand_sort(mesh: Mesh, sa_aug: jax.Array,
                         lo_ext: jax.Array, w_ext: jax.Array,
                         starts: jax.Array, limits: jax.Array,
                         m_off, capacity: int, block: int,
@@ -45,9 +45,9 @@ def sharded_expand_sort(mesh: Mesh, sa: jax.Array, rowvalid: jax.Array,
     """
     from slamem_tpu.engine.seed_mode import _block_slices, _expand_pairs_core
 
-    def step(sa, rv, lo, w, st, lim, m_off):
+    def step(sa_aug, lo, w, st, lim, m_off):
         lo_b, w_b, qpos0 = _block_slices(lo, w, st[0], lim[0], block)
-        d_s, q_s = _expand_pairs_core(sa, rv, lo_b, w_b, qpos0, m_off,
+        d_s, q_s = _expand_pairs_core(sa_aug, lo_b, w_b, qpos0, m_off,
                                       capacity)
         count = jnp.sum(d_s != _I32MAX)
         total = jax.lax.psum(count, "q")
@@ -63,37 +63,38 @@ def sharded_expand_sort(mesh: Mesh, sa: jax.Array, rowvalid: jax.Array,
                                           P("q")))
     fn = shard_map(
         step, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P("q"), P("q"), P()),
+        in_specs=(P(), P(), P(), P("q"), P("q"), P()),
         out_specs=out_specs)
-    return fn(sa, rowvalid, lo_ext, w_ext, starts, limits, m_off)
+    return fn(sa_aug, lo_ext, w_ext, starts, limits, m_off)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "capacity"))
-def full_query_step(mesh: Mesh, refk: jax.Array, refvalid: jax.Array,
-                    sa: jax.Array, qk: jax.Array, qvalid: jax.Array,
-                    qpos0: jax.Array, diag_mod: jax.Array, capacity: int):
+def full_query_step(mesh: Mesh, refk: jax.Array, sa_aug: jax.Array,
+                    qk: jax.Array, qvalid: jax.Array,
+                    qpos0: jax.Array, m_off: jax.Array, capacity: int):
     """One complete distributed query step, jitted end to end.
 
     This is the "training step" analogue the driver dry-runs over an
-    n-device mesh: replicated index (refk/refvalid/sa), query K-mers sharded
+    n-device mesh: replicated index (refk/sa_aug), query K-mers sharded
     [ndev, B] along ``q``, per-shard sorted-search + expansion + sort, psum
-    of the candidate count and all_gather of the sorted key blocks.
+    of the candidate count and all_gather of the sorted pair blocks.
     """
+    from slamem_tpu.engine.seed_mode import _expand_pairs_core
 
-    def step(refk, rv, sa, qk, qv, q0, dmod):
+    def step(refk, sa_aug, qk, qv, q0, m_off):
         qk1, qv1, q01 = qk[0], qv[0], q0[0]
         lo = jnp.searchsorted(refk, qk1, side="left")
         hi = jnp.searchsorted(refk, qk1, side="right")
-        width = jnp.where(qv1, hi - lo, 0).astype(jnp.int64)
-        keys = _expand_sort_core(sa, rv, lo.astype(jnp.int64), width, q01,
-                                 dmod, capacity)
-        total = jax.lax.psum(jnp.sum(keys != _I64MAX), "q")
-        gathered = jax.lax.all_gather(keys, "q")
-        return gathered[None], total[None]
+        width = jnp.where(qv1, hi - lo, 0).astype(jnp.int32)
+        d_s, q_s = _expand_pairs_core(sa_aug, lo.astype(jnp.int32), width,
+                                      q01, m_off, capacity)
+        total = jax.lax.psum(jnp.sum(d_s != _I32MAX), "q")
+        gd = jax.lax.all_gather(d_s, "q")
+        gq = jax.lax.all_gather(q_s, "q")
+        return gd[None], gq[None], total[None]
 
     fn = shard_map(
         step, mesh=mesh,
-        in_specs=(P(), P(), P(), P("q", None), P("q", None), P("q", None),
-                  P()),
-        out_specs=(P("q", None, None), P("q")))
-    return fn(refk, refvalid, sa, qk, qvalid, qpos0, diag_mod)
+        in_specs=(P(), P(), P("q", None), P("q", None), P("q", None), P()),
+        out_specs=(P("q", None, None), P("q", None, None), P("q")))
+    return fn(refk, sa_aug, qk, qvalid, qpos0, m_off)

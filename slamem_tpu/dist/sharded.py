@@ -44,23 +44,22 @@ except AttributeError:  # pragma: no cover
 
 
 def shard_tables(index: FMIndex, k: int, mesh: Mesh):
-    """Pad + split (refk, sa, rowvalid) into per-device SA-rank slabs."""
+    """Pad + split (refk, sign-augmented SA) into per-device SA-rank slabs."""
     ndev = len(mesh.devices.flat)
-    refk, rowvalid = seed_table(index, k)
+    refk, sa_aug = seed_table(index, k)
     n = index.n
     slab = -(-n // ndev)
     pad = slab * ndev - n
-    # dtype-max padding sorts after every real row; padded rows are filtered
-    # by rowvalid at expansion. Matching dtype matters: an int64 pad would
-    # silently promote the whole uint32 table.
+    # dtype-max padding sorts after every real row; padded rows carry the
+    # sign-bit invalid flag so expansion drops them. Matching dtype matters:
+    # an int64 pad would silently promote the whole uint32 table.
     pad_val = jnp.iinfo(refk.dtype).max
     refk_p = jnp.concatenate([refk, jnp.full((pad,), pad_val, refk.dtype)])
-    sa_p = jnp.concatenate([index.sa, jnp.zeros((pad,), jnp.int32)])
-    rv_p = jnp.concatenate([rowvalid, jnp.zeros((pad,), bool)])
+    sa_p = jnp.concatenate(
+        [sa_aug, jnp.full((pad,), np.int32(-0x80000000), jnp.int32)])
     sh = NamedSharding(mesh, P("q", None))
     return (jax.device_put(refk_p.reshape(ndev, slab), sh),
-            jax.device_put(sa_p.reshape(ndev, slab), sh),
-            jax.device_put(rv_p.reshape(ndev, slab), sh))
+            jax.device_put(sa_p.reshape(ndev, slab), sh))
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "k"))
@@ -85,26 +84,27 @@ def sharded_frontend(mesh: Mesh, refk_sh: jax.Array, qt: jax.Array, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "capacity", "block"))
-def sharded_expand(mesh: Mesh, sa_sh, rv_sh, lo_sh, w_sh, start, limit,
-                   diag_mod, capacity: int, block: int):
+def sharded_expand(mesh: Mesh, sa_sh, lo_sh, w_sh, start, limit,
+                   m_off, capacity: int, block: int):
     """Each shard expands its local interval parts for one position block.
 
     Fixed shapes: full per-shard interval arrays stay on device; the block
     is selected inside the program from (start, limit) scalars.
     """
-    from slamem_tpu.engine.seed_mode import _expand_block_core
+    from slamem_tpu.engine.seed_mode import (_block_slices,
+                                             _expand_pairs_core)
 
-    def step(sa_l, rv_l, lo_l, w_l, st, lim, dmod):
-        keys = _expand_block_core(sa_l[0], rv_l[0], lo_l[0], w_l[0], st, lim,
-                                  dmod, capacity, block)
-        return keys[None]
+    def step(sa_l, lo_l, w_l, st, lim, m_off):
+        lo_b, w_b, qpos0 = _block_slices(lo_l[0], w_l[0], st, lim, block)
+        d_s, q_s = _expand_pairs_core(sa_l[0], lo_b, w_b, qpos0, m_off,
+                                      capacity)
+        return d_s[None], q_s[None]
 
     fn = shard_map(
         step, mesh=mesh,
-        in_specs=(P("q", None), P("q", None), P("q", None), P("q", None),
-                  P(), P(), P()),
-        out_specs=P("q", None))
-    return fn(sa_sh, rv_sh, lo_sh, w_sh, start, limit, diag_mod)
+        in_specs=(P("q", None), P("q", None), P("q", None), P(), P(), P()),
+        out_specs=(P("q", None), P("q", None)))
+    return fn(sa_sh, lo_sh, w_sh, start, limit, m_off)
 
 
 def find_seed_matches_sharded(index: FMIndex, query_text: np.ndarray,
@@ -122,7 +122,7 @@ def find_seed_matches_sharded(index: FMIndex, query_text: np.ndarray,
     qp = seed_mode.pad_query(query_text)
     m = int(qp.shape[0])
     qt = jnp.asarray(qp)
-    refk_sh, sa_sh, rv_sh = shard_tables(index, k, mesh)
+    refk_sh, sa_sh = shard_tables(index, k, mesh)
     lo_l, w_l, w_max = sharded_frontend(mesh, refk_sh, qt, k)
 
     # plan rounds with the per-shard worst case so every shard fits capacity
@@ -138,15 +138,19 @@ def find_seed_matches_sharded(index: FMIndex, query_text: np.ndarray,
     lo_ext = jnp.concatenate([lo_l, zpad], axis=1)
     w_ext = jnp.concatenate([w_l, zpad], axis=1)
 
+    m_off32 = jnp.asarray(int(diag_mod) // 2, jnp.int32)
     batches: list[RunBatch] = []
     for start, end in blocks:
-        keys = sharded_expand(mesh, sa_sh, rv_sh, lo_ext, w_ext,
-                              jnp.asarray(start, jnp.int64),
-                              jnp.asarray(end, jnp.int64),
-                              jnp.asarray(diag_mod), capacity, block)
-        merged = np.sort(np.asarray(keys).ravel())
-        batches.append(runs_from_sorted_keys(merged, int(diag_mod), k,
-                                             want_pairs=False))
+        d_all, q_all = sharded_expand(mesh, sa_sh, lo_ext, w_ext,
+                                      jnp.asarray(start, jnp.int64),
+                                      jnp.asarray(end, jnp.int64),
+                                      m_off32, capacity, block)
+        d_h = np.asarray(d_all).ravel()
+        q_h = np.asarray(q_all).ravel()
+        order = np.lexsort((q_h, d_h))
+        batches.append(seed_mode.runs_from_sorted_pairs(
+            d_h[order], q_h[order], int(diag_mod) // 2, k,
+            want_pairs=False))
     runs = merge_runs(batches) if batches else RunBatch(
         np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64))
     length = runs.qend - runs.qstart + k

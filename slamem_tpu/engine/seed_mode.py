@@ -93,13 +93,13 @@ _seed_table_cache: dict[tuple[int, int], tuple] = {}
 
 
 def seed_table(index: FMIndex, k: int) -> tuple[jax.Array, jax.Array]:
-    """(refk, refvalid): packed K-mers in SA order + per-position validity.
+    """(refk, sa_aug): packed K-mers in SA order + sign-augmented SA.
 
     refk is non-decreasing (argued in packed_kmers), so sorted search against
     it yields the SA interval of any ACGT K-mer. Rows whose window touches a
-    special are placeholders filtered via the row-indexed validity at pair
-    expansion. Cached per (index, k): one build serves every query
-    sequence/strand.
+    special carry the sign-bit invalid flag in sa_aug (augment_sa) and are
+    filtered at pair expansion. Cached per (index, k): one build serves
+    every query sequence/strand.
     """
     key = (id(index.sa), k)
     hit = _seed_table_cache.get(key)
@@ -107,11 +107,11 @@ def seed_table(index: FMIndex, k: int) -> tuple[jax.Array, jax.Array]:
         return hit[1], hit[2]
     packed, valid = packed_kmers(index.text, k)
     refk = packed[index.sa]
-    rowvalid = valid[index.sa]
+    sa_aug = augment_sa(index.sa, valid[index.sa])
     if len(_seed_table_cache) > 8:
         _seed_table_cache.clear()
-    _seed_table_cache[key] = (index.sa, refk, rowvalid)
-    return refk, rowvalid
+    _seed_table_cache[key] = (index.sa, refk, sa_aug)
+    return refk, sa_aug
 
 
 # ---------------------------------------------------------------------------
@@ -206,7 +206,15 @@ def _bucket_intervals(refk: jax.Array, starts: jax.Array, qk: jax.Array,
     return left.astype(jnp.int32), width
 
 
-def _expand_pairs_core(sa: jax.Array, rowvalid: jax.Array, lo: jax.Array,
+def augment_sa(sa: jax.Array, rowvalid: jax.Array) -> jax.Array:
+    """SA with the window-invalid flag folded into the sign bit.
+
+    One gather then serves both the ref position and the validity check in
+    pair expansion (gathers are the measured wall on v5e)."""
+    return jnp.where(rowvalid, sa, sa | jnp.int32(np.int32(-0x80000000)))
+
+
+def _expand_pairs_core(sa_aug: jax.Array, lo: jax.Array,
                        width: jax.Array, qpos0: jax.Array, m_off: jax.Array,
                        capacity: int) -> tuple[jax.Array, jax.Array]:
     """Ragged expansion + lexicographic sort, all in int32.
@@ -218,8 +226,8 @@ def _expand_pairs_core(sa: jax.Array, rowvalid: jax.Array, lo: jax.Array,
     and XLA's searchsorted seg-id lowering another ~25x vs scatter+cummax —
     this function is why the engine holds no 64-bit value on the hot path.
 
-    ``rowvalid`` is indexed by SA ROW (validity of the ref window starting
-    at sa[row]) so validity shards alongside SA slabs (dist/sharded.py).
+    ``sa_aug`` is the augment_sa view: SA value plus a sign-bit invalid flag
+    per row; row-indexed so it shards alongside SA slabs (dist/sharded.py).
     """
     w32 = width.astype(jnp.int32)
     ends = jnp.cumsum(w32)
@@ -232,10 +240,12 @@ def _expand_pairs_core(sa: jax.Array, rowvalid: jax.Array, lo: jax.Array,
     slot = jnp.arange(capacity, dtype=jnp.int32)
     t = slot - base[seg_c]
     in_range = slot < ends[nseg - 1]
-    sa_idx = jnp.clip(lo.astype(jnp.int32)[seg_c] + t, 0, sa.shape[0] - 1)
-    refpos = sa[sa_idx]
+    sa_idx = jnp.clip(lo.astype(jnp.int32)[seg_c] + t, 0,
+                      sa_aug.shape[0] - 1)
+    refpos_f = sa_aug[sa_idx]
+    refpos = refpos_f & jnp.int32(0x7FFFFFFF)
     qp = qpos0.astype(jnp.int32)[seg_c]
-    ok = in_range & (t >= 0) & (t < w32[seg_c]) & rowvalid[sa_idx]
+    ok = in_range & (t >= 0) & (t < w32[seg_c]) & (refpos_f >= 0)
     d = jnp.where(ok, refpos - qp + m_off.astype(jnp.int32), _I32MAX)
     q = jnp.where(ok, qp, _I32MAX)
     d_s, q_s = jax.lax.sort((d, q), dimension=0, num_keys=2)
@@ -251,8 +261,8 @@ def _expand_sort_core(sa: jax.Array, rowvalid: jax.Array, lo: jax.Array,
     is monotone in the (diag', qpos) lexicographic order.
     """
     m_off = (diag_mod // 2).astype(jnp.int32)
-    d_s, q_s = _expand_pairs_core(sa, rowvalid, lo, width, qpos0, m_off,
-                                  capacity)
+    d_s, q_s = _expand_pairs_core(augment_sa(sa.astype(jnp.int32), rowvalid),
+                                  lo, width, qpos0, m_off, capacity)
     key = d_s.astype(jnp.int64) * diag_mod + q_s.astype(jnp.int64)
     return jnp.where(d_s == _I32MAX, _I64MAX, key)
 
@@ -403,24 +413,24 @@ def _compact_pair_runs(d_s, q_s, run_capacity: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("capacity", "run_capacity", "block"))
-def expand_block_to_runs(sa, rowvalid, lo_full, w_full, start, limit,
+def expand_block_to_runs(sa_aug, lo_full, w_full, start, limit,
                          m_off, capacity: int, run_capacity: int,
                          block: int):
     """Fixed-shape MEM fast path, int32 end to end: expansion, pair sort and
     run compaction without one 64-bit value; only run boundaries (3 int32
     arrays of run_capacity) leave the device."""
     lo, w, qpos0 = _block_slices(lo_full, w_full, start, limit, block)
-    d_s, q_s = _expand_pairs_core(sa, rowvalid, lo, w, qpos0, m_off, capacity)
+    d_s, q_s = _expand_pairs_core(sa_aug, lo, w, qpos0, m_off, capacity)
     return _compact_pair_runs(d_s, q_s, run_capacity)
 
 
-def _fused_tail(lo, width, sa, rowvalid, m, capacity: int,
+def _fused_tail(lo, width, sa_aug, m, capacity: int,
                 run_capacity: int):
     cum = jnp.cumsum(width.astype(jnp.int64))
     summary = jnp.stack([cum[-1], jnp.max(width).astype(jnp.int64)])
     m_off = jnp.int32(m + 1)  # diag_mod = 2m + 2 convention
     qpos0 = jnp.arange(m, dtype=jnp.int32)
-    d_s, q_s = _expand_pairs_core(sa, rowvalid, lo, width, qpos0, m_off,
+    d_s, q_s = _expand_pairs_core(sa_aug, lo, width, qpos0, m_off,
                                   capacity)
     run_d, run_qs, run_qe, n_runs, _n_pairs = _compact_pair_runs(
         d_s, q_s, run_capacity)
@@ -437,7 +447,7 @@ def _fused_tail(lo, width, sa, rowvalid, m, capacity: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "capacity", "run_capacity"))
-def fused_query(refk, rowvalid, sa, qt, k: int, capacity: int,
+def fused_query(refk, sa_aug, qt, k: int, capacity: int,
                 run_capacity: int):
     """Whole MEM query in ONE dispatch for the common single-round case.
 
@@ -450,20 +460,20 @@ def fused_query(refk, rowvalid, sa, qt, k: int, capacity: int,
     """
     qk, qvalid = packed_kmers(qt, k)
     lo, width = _join_intervals(refk, qk, qvalid)
-    return _fused_tail(lo, width, sa, rowvalid, qt.shape[0], capacity,
+    return _fused_tail(lo, width, sa_aug, qt.shape[0], capacity,
                        run_capacity)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "capacity", "run_capacity", "shift",
                                     "probes"))
-def fused_query_bucket(refk, starts, rowvalid, sa, qt, k: int, capacity: int,
+def fused_query_bucket(refk, starts, sa_aug, qt, k: int, capacity: int,
                        run_capacity: int, shift: int, probes: int):
     """fused_query with the bucket frontend — for references much larger
     than the query batch, where the join would re-sort n + m entries."""
     qk, qvalid = packed_kmers(qt, k)
     lo, width = _bucket_intervals(refk, starts, qk, qvalid, shift, probes)
-    return _fused_tail(lo, width, sa, rowvalid, qt.shape[0], capacity,
+    return _fused_tail(lo, width, sa_aug, qt.shape[0], capacity,
                        run_capacity)
 
 
@@ -476,12 +486,12 @@ def expand_block_and_sort(sa, rowvalid, lo_full, w_full, start, limit,
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "block"))
-def expand_block_pairs(sa, rowvalid, lo_full, w_full, start, limit,
+def expand_block_pairs(sa_aug, lo_full, w_full, start, limit,
                        m_off, capacity: int, block: int):
     """Fixed-shape expansion returning sorted int32 (diag', qpos) pairs —
     the overflow / MUM/MAM path (per-pair data must reach the host)."""
     lo, w, qpos0 = _block_slices(lo_full, w_full, start, limit, block)
-    return _expand_pairs_core(sa, rowvalid, lo, w, qpos0, m_off, capacity)
+    return _expand_pairs_core(sa_aug, lo, w, qpos0, m_off, capacity)
 
 
 # ---------------------------------------------------------------------------
@@ -649,7 +659,7 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     k = cfg.seed_length
     qp = pad_query(query_text)
     m_p = int(qp.shape[0])
-    refk, rowvalid = seed_table(index, k)
+    refk, sa_aug = seed_table(index, k)
     capacity = int(cfg.pair_capacity)
     run_cap = max(4096, capacity // 16)
     if cfg.mode.value == "mem" and (mesh is None
@@ -660,11 +670,11 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
         if index.n > 2 * m_p:
             starts, shift, probes = bucket_table(index, k)
             lo, width, cum, summary, packed = fused_query_bucket(
-                refk, starts, rowvalid, index.sa, jnp.asarray(qp), k,
+                refk, starts, sa_aug, jnp.asarray(qp), k,
                 capacity, run_cap, shift, probes)
         else:
             lo, width, cum, summary, packed = fused_query(
-                refk, rowvalid, index.sa, jnp.asarray(qp), k, capacity,
+                refk, sa_aug, jnp.asarray(qp), k, capacity,
                 run_cap)
         wire = np.asarray(packed)  # the one round trip
         nr, total, max_w = (int(wire[-3]), int(wire[-2]), int(wire[-1]))
@@ -677,16 +687,16 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
             return SeedMatches(refpos=(runs.diag + runs.qstart)[keep],
                                qpos=runs.qstart[keep], length=length[keep])
         return pairs_to_matches(index, lo, width, k, m_p, cfg, mesh,
-                                rowvalid, cum=cum,
+                                sa_aug, cum=cum,
                                 summary=np.asarray(summary))
     lo, width, cum, summary = query_frontend(refk, jnp.asarray(qp), k)
-    return pairs_to_matches(index, lo, width, k, m_p, cfg, mesh, rowvalid,
+    return pairs_to_matches(index, lo, width, k, m_p, cfg, mesh, sa_aug,
                             cum=cum, summary=np.asarray(summary))
 
 
 def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                      m: int, cfg: Config, mesh=None,
-                     rowvalid: jax.Array | None = None, cum=None,
+                     sa_aug: jax.Array | None = None, cum=None,
                      summary=None) -> SeedMatches:
     """Shared backend: intervals at depth k -> maximal matches >= min_length.
 
@@ -699,8 +709,8 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
     depth-k pairs on one diagonal ARE the maximal matches, and the final
     filter keeps lengths >= min_length.
     """
-    if rowvalid is None:
-        rowvalid = jnp.ones((index.n,), bool)
+    if sa_aug is None:
+        sa_aug = index.sa  # all rows valid
     capacity = int(cfg.pair_capacity)
     block = min(cfg.position_block, m)
     diag_mod = np.int64(m + block + 2)  # qpos0 can reach m + block - 1
@@ -742,7 +752,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
             pending = []
             for start, end in blocks:
                 pending.append(expand_block_to_runs(
-                    index.sa, rowvalid, lo_ext, w_ext,
+                    sa_aug, lo_ext, w_ext,
                     jnp.asarray(start, jnp.int64), jnp.asarray(end, jnp.int64),
                     m_off32, capacity, run_cap, block))
             if pending:
@@ -760,7 +770,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                         int(diag_mod) // 2))
                 else:  # run-capacity overflow: fetch this block's pairs
                     d_s, q_s = expand_block_pairs(
-                        index.sa, rowvalid, lo_ext, w_ext,
+                        sa_aug, lo_ext, w_ext,
                         jnp.asarray(start, jnp.int64),
                         jnp.asarray(end, jnp.int64), m_off32, capacity,
                         block)
@@ -771,7 +781,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
             pend = []
             for start, end in blocks:
                 pend.append(expand_block_pairs(
-                    index.sa, rowvalid, lo_ext, w_ext,
+                    sa_aug, lo_ext, w_ext,
                     jnp.asarray(start, jnp.int64), jnp.asarray(end, jnp.int64),
                     m_off32, capacity, block))
             for d_s, q_s in pend:
@@ -791,7 +801,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                 starts[d] = st
                 limits[d] = en
             d_all, q_all, _total = sharded_expand_sort(
-                mesh, index.sa, rowvalid, lo_ext, w_ext,
+                mesh, sa_aug, lo_ext, w_ext,
                 jnp.asarray(starts), jnp.asarray(limits),
                 m_off32, capacity, block)
             d_h = np.asarray(d_all)

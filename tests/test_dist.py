@@ -64,7 +64,8 @@ def test_graft_entry_singlechip():
 
     fn, args = ge.entry()
     out1 = jax.jit(fn)(*args)
-    assert out1.shape[0] > 0
+    d_s, q_s = out1
+    assert d_s.shape[0] > 0 and d_s.shape == q_s.shape
 
 
 def test_graft_entry_dryrun():
