@@ -147,6 +147,7 @@ def find_scan_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     qp = seed_mode.pad_query(query_text)  # N-padding: no spurious intervals
     m = int(qp.shape[0])
     lo, width = scan_intervals(index, qp, L)
-    rowvalid = jnp.ones((index.n,), bool)  # FM hits never touch specials
+    # FM hits never touch specials: plain SA doubles as the all-valid
+    # sign-augmented view (augment_sa with validity all-true)
     return seed_mode.pairs_to_matches(index, lo, width, L, m, cfg, mesh,
-                                      rowvalid)
+                                      index.sa)
