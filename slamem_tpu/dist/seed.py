@@ -16,8 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from slamem_tpu.engine.seed_mode import (_I64MAX, _expand_sort_core,
-                                          _I32MAX)
+from slamem_tpu.engine.seed_mode import _I32MAX
 
 try:  # jax >= 0.4.35 exposes shard_map at top level
     shard_map = jax.shard_map

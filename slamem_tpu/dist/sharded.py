@@ -33,8 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from slamem_tpu.config import Config
 from slamem_tpu.engine import seed_mode
 from slamem_tpu.engine.seed_mode import (
-    _I64MAX, _expand_sort_core, RunBatch, SeedMatches, merge_runs,
-    packed_kmers, runs_from_sorted_keys, seed_table)
+    RunBatch, SeedMatches, merge_runs, packed_kmers, seed_table)
 from slamem_tpu.index.build import FMIndex
 
 try:

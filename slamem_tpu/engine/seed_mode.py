@@ -252,21 +252,6 @@ def _expand_pairs_core(sa_aug: jax.Array, lo: jax.Array,
     return d_s, q_s
 
 
-def _expand_sort_core(sa: jax.Array, rowvalid: jax.Array, lo: jax.Array,
-                      width: jax.Array, qpos0: jax.Array, diag_mod: jax.Array,
-                      capacity: int) -> jax.Array:
-    """int64-key view over _expand_pairs_core (legacy/dist contract).
-
-    The keys come out already sorted because key = diag' * diag_mod + qpos
-    is monotone in the (diag', qpos) lexicographic order.
-    """
-    m_off = (diag_mod // 2).astype(jnp.int32)
-    d_s, q_s = _expand_pairs_core(augment_sa(sa.astype(jnp.int32), rowvalid),
-                                  lo, width, qpos0, m_off, capacity)
-    key = d_s.astype(jnp.int64) * diag_mod + q_s.astype(jnp.int64)
-    return jnp.where(d_s == _I32MAX, _I64MAX, key)
-
-
 @functools.partial(jax.jit, static_argnames=("k",))
 def query_frontend(refk: jax.Array, qt: jax.Array, k: int):
     """Fused packing + sorted search + planning stats: one dispatch.
@@ -384,13 +369,6 @@ def _block_slices(lo_full, w_full, start, limit, block: int):
     return lo, w, qpos0
 
 
-def _expand_block_core(sa, rowvalid, lo_full, w_full, start, limit, diag_mod,
-                       capacity: int, block: int):
-    """int64-key block expansion (dist paths contract)."""
-    lo, w, qpos0 = _block_slices(lo_full, w_full, start, limit, block)
-    return _expand_sort_core(sa, rowvalid, lo, w, qpos0, diag_mod, capacity)
-
-
 def _compact_pair_runs(d_s, q_s, run_capacity: int):
     """Sorted (diag, qpos) pairs -> run boundary triples, all int32."""
     valid = d_s != _I32MAX
@@ -478,14 +456,6 @@ def fused_query_bucket(refk, starts, sa_aug, qt, k: int, capacity: int,
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "block"))
-def expand_block_and_sort(sa, rowvalid, lo_full, w_full, start, limit,
-                          diag_mod, capacity: int, block: int):
-    """Fixed-shape int64-key expansion (dist wire format)."""
-    return _expand_block_core(sa, rowvalid, lo_full, w_full, start, limit,
-                              diag_mod, capacity, block)
-
-
-@functools.partial(jax.jit, static_argnames=("capacity", "block"))
 def expand_block_pairs(sa_aug, lo_full, w_full, start, limit,
                        m_off, capacity: int, block: int):
     """Fixed-shape expansion returning sorted int32 (diag', qpos) pairs —
@@ -533,32 +503,6 @@ def runs_from_sorted_pairs(d: np.ndarray, q: np.ndarray, m_off: int, k: int,
     run_id = np.cumsum(brk) - 1
     pair_ext = k + qend[run_id] - q
     return RunBatch(diag, qstart, qend, q, d + q, pair_ext)
-
-
-def runs_from_sorted_keys(sorted_keys: np.ndarray, diag_mod: int, k: int,
-                          want_pairs: bool) -> RunBatch:
-    """Decode sorted (diag, qpos) keys into maximal runs (one per match)."""
-    keys = sorted_keys[sorted_keys != _I64MAX]
-    if keys.size == 0:
-        e = np.zeros(0, np.int64)
-        return RunBatch(e, e, e.copy(),
-                        *( (e, e, e) if want_pairs else (None, None, None)))
-    brk = np.empty(keys.size, dtype=bool)
-    brk[0] = True
-    np.not_equal(np.diff(keys), 1, out=brk[1:])
-    starts = np.flatnonzero(brk)
-    ends = np.append(starts[1:], keys.size)  # exclusive
-    m_off = diag_mod // 2
-    qstart = keys[starts] % diag_mod
-    diag = keys[starts] // diag_mod - m_off
-    qend = qstart + (ends - starts - 1)
-    if not want_pairs:
-        return RunBatch(diag, qstart, qend)
-    run_id = np.cumsum(brk) - 1
-    pair_qpos = keys % diag_mod
-    pair_refpos = (keys // diag_mod - m_off) + pair_qpos
-    pair_ext = k + qend[run_id] - pair_qpos
-    return RunBatch(diag, qstart, qend, pair_qpos, pair_refpos, pair_ext)
 
 
 def runs_from_compacted32(run_d: np.ndarray, run_qs: np.ndarray,
@@ -729,11 +673,6 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
     want_pairs = cfg.mode.value != "mem"
     batches: list[RunBatch] = []
     pair_chunks: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
-
-    def _consume(sorted_keys_host: np.ndarray) -> None:
-        batch = runs_from_sorted_keys(sorted_keys_host, int(diag_mod), k,
-                                      want_pairs)
-        _collect(batch)
 
     def _collect(batch: RunBatch) -> None:
         if want_pairs and batch.pair_qpos is not None:
