@@ -20,8 +20,6 @@ the text end) — which is exactly the lcp semantics the engines need.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -21,7 +21,6 @@ across them, and the query side masks out any seed window containing them.
 from __future__ import annotations
 
 import dataclasses
-import io as _stdio
 import os
 
 import numpy as np

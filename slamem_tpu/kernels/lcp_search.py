@@ -21,7 +21,6 @@ without bounds logic (depth-0 expansion returns the full range [0, n)).
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
