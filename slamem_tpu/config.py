@@ -41,8 +41,9 @@ class Config:
     # measured v5e fast path (64-bit sort/compare/gather cost 2-6x); caps in
     # 17..31 switch the frontend to int64 tables. See engine/seed_mode.py.
     seed_length_cap: int = 16
-    position_block: int = 1 << 22   # query positions per device dispatch
+    position_block: int = 1 << 26   # max query positions per device dispatch
     pair_capacity: int = 1 << 22    # candidate-pair buffer per dispatch round
+    pair_capacity_max: int = 1 << 24  # fallback rounds may grow to this
     occ_block: int = 128            # occ checkpoint spacing (symbols)
     verbose: bool = False
 

@@ -90,6 +90,7 @@ def packed_kmers(text: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
 
 
 _seed_table_cache: dict[tuple[int, int], tuple] = {}
+_last_total_cache: dict[tuple[int, int], int] = {}
 
 
 def seed_table(index: FMIndex, k: int) -> tuple[jax.Array, jax.Array]:
@@ -606,8 +607,9 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     refk, sa_aug = seed_table(index, k)
     capacity = int(cfg.pair_capacity)
     run_cap = max(4096, capacity // 16)
-    if cfg.mode.value == "mem" and (mesh is None
-                                    or len(mesh.devices.flat) == 1):
+    skip_fused = _last_total_cache.get((id(index.sa), k), 0) > capacity
+    if cfg.mode.value == "mem" and not skip_fused and (
+            mesh is None or len(mesh.devices.flat) == 1):
         # optimistic single-dispatch fast path (overflow falls through);
         # bucket frontend when the table dwarfs the query batch (the join
         # re-sorts n + m entries, the bucket search is O(m log maxbucket))
@@ -622,6 +624,7 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                 run_cap)
         wire = np.asarray(packed)  # the one round trip
         nr, total, max_w = (int(wire[-3]), int(wire[-2]), int(wire[-1]))
+        _last_total_cache[(id(index.sa), k)] = total
         if total <= min(capacity, np.iinfo(np.int32).max - 1)                 and nr <= run_cap:
             runs = runs_from_compacted32(
                 wire[:run_cap], wire[run_cap:2 * run_cap],
@@ -634,8 +637,11 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                                 sa_aug, cum=cum,
                                 summary=np.asarray(summary))
     lo, width, cum, summary = query_frontend(refk, jnp.asarray(qp), k)
+    summary_h = np.asarray(summary)
+    if cfg.mode.value == "mem":
+        _last_total_cache[(id(index.sa), k)] = int(summary_h[0])
     return pairs_to_matches(index, lo, width, k, m_p, cfg, mesh, sa_aug,
-                            cum=cum, summary=np.asarray(summary))
+                            cum=cum, summary=summary_h)
 
 
 def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
@@ -656,6 +662,12 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
     if sa_aug is None:
         sa_aug = index.sa  # all rows valid
     capacity = int(cfg.pair_capacity)
+    if (summary is not None and capacity >= (1 << 22)
+            and int(summary[0]) > 3 * capacity):
+        # many rounds ahead: amortize dispatch overhead with bigger buffers
+        # (deliberately small capacities — tests, constrained configs — are
+        # left alone)
+        capacity = max(capacity, int(cfg.pair_capacity_max))
     block = min(cfg.position_block, m)
     diag_mod = np.int64(m + block + 2)  # qpos0 can reach m + block - 1
 
