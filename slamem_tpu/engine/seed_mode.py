@@ -92,6 +92,12 @@ def packed_kmers(text: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
 _seed_table_cache: dict[tuple[int, int], tuple] = {}
 _last_total_cache: dict[tuple[int, int], int] = {}
 
+# fallback rounds may grow their buffers (amortizing dispatch overhead) only
+# when the configured capacity is at least this — deliberately small
+# capacities keep their semantics. Module-level so tests can exercise the
+# grown path at miniature scale.
+_GROWTH_MIN_CAPACITY = 1 << 22
+
 
 def seed_table(index: FMIndex, k: int) -> tuple[jax.Array, jax.Array]:
     """(refk, sa_aug): packed K-mers in SA order + sign-augmented SA.
@@ -662,7 +668,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
     if sa_aug is None:
         sa_aug = index.sa  # all rows valid
     capacity = int(cfg.pair_capacity)
-    if (summary is not None and capacity >= (1 << 22)
+    if (summary is not None and capacity >= _GROWTH_MIN_CAPACITY
             and int(summary[0]) > 3 * capacity):
         # many rounds ahead: amortize dispatch overhead with bigger buffers
         # (deliberately small capacities — tests, constrained configs — are

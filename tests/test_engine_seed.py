@@ -175,3 +175,18 @@ def test_bucket_vs_join_identical():
     assert np.array_equal(np.asarray(w_j), np.asarray(w_b))
     sel = np.asarray(w_j) > 0
     assert np.array_equal(np.asarray(lo_j)[sel], np.asarray(lo_b)[sel])
+
+
+def test_adaptive_capacity_growth(monkeypatch):
+    """The grown-buffer fallback path must be exact (miniature rehearsal)."""
+    from slamem_tpu.engine import seed_mode
+
+    monkeypatch.setattr(seed_mode, "_GROWTH_MIN_CAPACITY", 64)
+    seed_mode._last_total_cache.clear()
+    ref = random_genome(1500, seed=230)
+    qry = mutate(ref, 0.01, 0.001, seed=231)
+    # tiny capacity forces overflow; growth then raises rounds to max
+    cfg = Config(min_length=10, pair_capacity=128, pair_capacity_max=1024)
+    check(ref, qry, cfg)
+    # second query on the same index exercises the fused-skip heuristic
+    check(ref, qry, cfg)
