@@ -41,6 +41,7 @@ def run_bench(size: int, minlen: int, repeats: int = 3) -> dict:
     from slamem_tpu.config import Config
     from slamem_tpu.engine.seed_mode import find_seed_matches
     from slamem_tpu.index.build import build_index
+    from slamem_tpu.utils.log import V5E_HBM_GBPS
 
     ref, qry = build_inputs(size)
     cfg = Config(min_length=minlen)
@@ -56,16 +57,59 @@ def run_bench(size: int, minlen: int, repeats: int = 3) -> dict:
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        find_seed_matches(index, qry, cfg)
+        m = find_seed_matches(index, qry, cfg)
         times.append(time.perf_counter() - t0)
     t_query = min(times)
-    return {
+    res = {
         "mbp_per_s": (len(qry) / 1e6) / t_query,
         "query_s": t_query,
         "build_s": t_build,
         "matches": n_matches,
         "query_bp": len(qry),
         "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+    }
+    if m.stats:  # roofline detail (SURVEY.md §5: the project metric frame)
+        gbps = m.stats["bytes_min"] / 1e9 / t_query
+        res.update(pairs=m.stats["pairs"], rounds=m.stats["rounds"],
+                   seed_k=m.stats["k"], bytes_min=m.stats["bytes_min"],
+                   gb_per_s=gbps, hbm_fraction=gbps / V5E_HBM_GBPS)
+    return res
+
+
+def run_rank_bench(size: int = 5_000_000, batch: int = 1 << 20,
+                   repeats: int = 3) -> dict:
+    """Pallas rank/occ kernel roofline: exactly 512 B HBM per query."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from slamem_tpu.index.build import build_index
+    from slamem_tpu.kernels.rank import rank_pallas
+    from slamem_tpu.utils.log import V5E_HBM_GBPS
+
+    ref, _ = build_inputs(size)
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    rng = np.random.default_rng(20260817)
+    chars = jnp.asarray(rng.integers(0, 4, size=batch).astype(np.int32))
+    pos = jnp.asarray(
+        rng.integers(0, index.n + 1, size=batch).astype(np.int32))
+    np.asarray(rank_pallas(index, chars, pos))  # warmup compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(rank_pallas(index, chars, pos))  # host fetch grounds time
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    gbps = batch * 512 / dt / 1e9
+    return {
+        "rank_gb_per_s": gbps,
+        "hbm_fraction": gbps / V5E_HBM_GBPS,
+        "queries": batch,
+        "seconds": dt,
+        "bytes_per_query": 512,
         "device": str(jax.devices()[0]),
     }
 
@@ -90,6 +134,20 @@ def main() -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if "--rank" in argv:  # Pallas occ kernel roofline (BASELINE north star)
+        res = run_rank_bench()
+        print(json.dumps({
+            "metric": "rank_kernel_gb_per_s",
+            "value": round(res["rank_gb_per_s"], 1),
+            "unit": "GB/s",
+            "vs_baseline": round(res["hbm_fraction"], 4),
+        }))
+        print(json.dumps({"detail": {k: (round(v, 4) if isinstance(v, float)
+                                         else v) for k, v in res.items()}}),
+              file=sys.stderr)
+        return 0
+
     res = run_bench(size, minlen)
 
     if calibrate:

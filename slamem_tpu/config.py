@@ -37,14 +37,19 @@ class Config:
 
     # --- engine tunables (new; no reference counterpart) ---
     engine: str = "seed"            # "seed" (flagship) or "scan" (survey §3.2)
-    # K = min(min_length, cap). 16 keeps every packed K-mer in uint32 — the
-    # measured v5e fast path (64-bit sort/compare/gather cost 2-6x); caps in
-    # 17..31 switch the frontend to int64 tables. See engine/seed_mode.py.
-    seed_length_cap: int = 16
+    # Max seed depth K (engine uses choose_seed_k <= min(min_length, cap)).
+    # K <= 16 packs into one uint32 word; 17..32 into two words compared
+    # word-lexicographically — still int32-speed (64-bit sort/compare/gather
+    # cost 2-6x on v5e). Deeper seeds kill the n*m/4^K random-collision
+    # pairs that wall chr-scale queries. See engine/seed_mode.py.
+    seed_length_cap: int = 32
     position_block: int = 1 << 26   # max query positions per device dispatch
     pair_capacity: int = 1 << 22    # candidate-pair buffer per dispatch round
     pair_capacity_max: int = 1 << 24  # fallback rounds may grow to this
     occ_block: int = 128            # occ checkpoint spacing (symbols)
+    # scan-engine rank backend: "auto" = Pallas interleaved-row kernel on
+    # TPU, XLA gather on CPU; "pallas"/"xla" force one (kernels/rank.py)
+    rank_kernel: str = "auto"
     verbose: bool = False
 
     # --- distribution (SURVEY §2 "new first-class components") ---
@@ -54,11 +59,12 @@ class Config:
     def __post_init__(self) -> None:
         if self.min_length < 1:
             raise ValueError(f"min_length must be >= 1, got {self.min_length}")
-        if not 1 <= self.seed_length_cap <= 31:
-            raise ValueError("seed_length_cap must be in [1, 31] (2-bit packing "
-                             f"into int64), got {self.seed_length_cap}")
+        if not 1 <= self.seed_length_cap <= 32:
+            raise ValueError("seed_length_cap must be in [1, 32] (2-bit packing "
+                             f"into two uint32 words), got {self.seed_length_cap}")
 
     @property
     def seed_length(self) -> int:
-        """Seed depth K used by the seed engine: min(L, cap), packable in 62 bits."""
+        """Max seed depth K: min(L, cap). The engine may choose a shallower
+        K when one packed word suffices (engine/seed_mode.py choose_seed_k)."""
         return min(self.min_length, self.seed_length_cap)

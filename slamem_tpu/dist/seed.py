@@ -67,33 +67,88 @@ def sharded_expand_sort(mesh: Mesh, sa_aug: jax.Array,
     return fn(sa_aug, lo_ext, w_ext, starts, limits, m_off)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "capacity", "run_capacity",
+                                    "block"))
+def expand_runs_gathered(mesh: Mesh, sa_aug: jax.Array,
+                         lo_ext: jax.Array, w_ext: jax.Array,
+                         starts: jax.Array, limits: jax.Array,
+                         m_off, capacity: int, run_capacity: int,
+                         block: int):
+    """PRODUCTION mesh MEM path: per-device run compaction + collective
+    merge (BASELINE north star "merged and deduplicated via all_gather/psum
+    collectives before emission").
+
+    Each device expands its position block, sorts pairs, and compacts them
+    to run-boundary triples ON DEVICE (engine.seed_mode._compact_pair_runs);
+    the triples are then all_gather'ed in deterministic device order and the
+    psum'd global pair count rides along — the host receives ONE replicated
+    [ndev, run_capacity] set of int32 triples instead of ndev x capacity raw
+    pairs, and performs no pair sorting at all.
+    """
+    from slamem_tpu.engine.seed_mode import (_block_slices,
+                                             _compact_pair_runs,
+                                             _expand_pairs_core)
+
+    def step(sa_aug, lo, w, st, lim, m_off):
+        lo_b, w_b, qpos0 = _block_slices(lo, w, st[0], lim[0], block)
+        d_s, q_s = _expand_pairs_core(sa_aug, lo_b, w_b, qpos0, m_off,
+                                      capacity)
+        run_d, run_qs, run_qe, n_runs, n_pairs = _compact_pair_runs(
+            d_s, q_s, run_capacity)
+        total = jax.lax.psum(n_pairs, "q")
+        gd = jax.lax.all_gather(run_d, "q")       # [ndev, run_capacity]
+        gqs = jax.lax.all_gather(run_qs, "q")
+        gqe = jax.lax.all_gather(run_qe, "q")
+        gnr = jax.lax.all_gather(n_runs, "q")     # [ndev]
+        return gd, gqs, gqe, gnr, total
+
+    # check_vma off: the outputs ARE replicated (all_gather / psum results),
+    # but this jax's varying-axes inference does not propagate that
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(), P(), P("q"), P("q"), P()),
+        out_specs=(P(), P(), P(), P(), P()), check_vma=False)
+    return fn(sa_aug, lo_ext, w_ext, starts, limits, m_off)
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "capacity"))
-def full_query_step(mesh: Mesh, refk: jax.Array, sa_aug: jax.Array,
-                    qk: jax.Array, qvalid: jax.Array,
+def full_query_step(mesh: Mesh, refk, sa_aug: jax.Array,
+                    qk, qvalid: jax.Array,
                     qpos0: jax.Array, m_off: jax.Array, capacity: int):
     """One complete distributed query step, jitted end to end.
 
     This is the "training step" analogue the driver dry-runs over an
-    n-device mesh: replicated index (refk/sa_aug), query K-mers sharded
-    [ndev, B] along ``q``, per-shard sorted-search + expansion + sort, psum
-    of the candidate count and all_gather of the sorted pair blocks.
+    n-device mesh: replicated index (refk words/sa_aug), query K-mers
+    sharded [ndev, B] along ``q``, per-shard sorted-search + expansion +
+    sort + run compaction, psum of the candidate count and all_gather of
+    the merged run triples (the production collective-merge shape, see
+    expand_runs_gathered).
     """
-    from slamem_tpu.engine.seed_mode import _expand_pairs_core
+    from slamem_tpu.engine.seed_mode import (_compact_pair_runs,
+                                             _expand_pairs_core,
+                                             _join_intervals)
+
+    run_capacity = max(64, capacity // 4)
 
     def step(refk, sa_aug, qk, qv, q0, m_off):
-        qk1, qv1, q01 = qk[0], qv[0], q0[0]
-        lo = jnp.searchsorted(refk, qk1, side="left")
-        hi = jnp.searchsorted(refk, qk1, side="right")
-        width = jnp.where(qv1, hi - lo, 0).astype(jnp.int32)
-        d_s, q_s = _expand_pairs_core(sa_aug, lo.astype(jnp.int32), width,
-                                      q01, m_off, capacity)
+        refk_w = refk if isinstance(refk, tuple) else (refk,)
+        qk_w = tuple(w[0] for w in (qk if isinstance(qk, tuple) else (qk,)))
+        qv1, q01 = qv[0], q0[0]
+        lo, width = _join_intervals(refk_w, qk_w, qv1)
+        d_s, q_s = _expand_pairs_core(sa_aug, lo, width, q01, m_off,
+                                      capacity)
         total = jax.lax.psum(jnp.sum(d_s != _I32MAX), "q")
-        gd = jax.lax.all_gather(d_s, "q")
-        gq = jax.lax.all_gather(q_s, "q")
-        return gd[None], gq[None], total[None]
+        run_d, run_qs, run_qe, n_runs, _ = _compact_pair_runs(
+            d_s, q_s, run_capacity)
+        gd = jax.lax.all_gather(run_d, "q")
+        gqs = jax.lax.all_gather(run_qs, "q")
+        gqe = jax.lax.all_gather(run_qe, "q")
+        gnr = jax.lax.all_gather(n_runs, "q")
+        return gd, gqs, gqe, gnr, total[None]
 
     fn = shard_map(
         step, mesh=mesh,
         in_specs=(P(), P(), P("q", None), P("q", None), P("q", None), P()),
-        out_specs=(P("q", None, None), P("q", None, None), P("q")))
+        out_specs=(P(), P(), P(), P(), P("q")), check_vma=False)
     return fn(refk, sa_aug, qk, qvalid, qpos0, m_off)

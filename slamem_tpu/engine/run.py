@@ -45,7 +45,7 @@ class EngineOutput:
 def _search_one(index: FMIndex, qcodes: np.ndarray, cfg: Config,
                 mesh=None) -> seed_mode.SeedMatches:
     if cfg.engine == "seed":
-        if cfg.shard_index and mesh is not None and cfg.mode.value == "mem":
+        if cfg.shard_index and mesh is not None:
             from slamem_tpu.dist.sharded import find_seed_matches_sharded
 
             matches = find_seed_matches_sharded(index, qcodes, cfg, mesh)
@@ -76,6 +76,8 @@ def run_engine(ref_set: FastaSet, query_set: FastaSet, cfg: Config,
         jax.block_until_ready(index.sa)  # async dispatch fakes timings
     t_build = time.perf_counter() - t0
 
+    from slamem_tpu.utils.profile import maybe_trace
+
     per_query: list[QueryMatches] = []
     total = 0
     qbp = 0
@@ -93,44 +95,62 @@ def run_engine(ref_set: FastaSet, query_set: FastaSet, cfg: Config,
             ref_seq=seq_id, ref_pos=local, q_pos=qpos, length=length))
         total += int(length.size)
 
-    if cfg.mode == MatchMode.MEM and (query_set.num_seqs > 1
-                                      or cfg.both_strands):
-        # MEM needs no per-sequence uniqueness state: every (sequence,
-        # strand) combination joins into ONE separator-delimited text — a
-        # single engine dispatch for the whole request (BASELINE config #2
-        # shape; -b gets both strands in the same dispatch).
-        entries = [(qi, rev) for qi in range(query_set.num_seqs)
-                   for rev in strands]
-        parts = []
-        for qi, rev in entries:
-            codes = query_set.sequence(qi).codes
-            parts.append(revcomp_codes(codes) if rev else codes)
-        lengths = np.array([len(p) for p in parts], dtype=np.int64)
-        joined = FastaSet(
-            names=[f"{qi}/{rev}" for qi, rev in entries],
-            starts=np.concatenate(([0], np.cumsum(lengths)[:-1])),
-            lengths=lengths, codes=np.concatenate(parts))
-        qtext, qstarts = joined.with_separators()
-        qbp += int(lengths.sum())
-        with log.phase("query", bp=len(qtext), entries=len(entries)):
-            m = _search_one(index, qtext, cfg, mesh=mesh)
-        entry_of_match = np.searchsorted(qstarts, m.qpos, side="right") - 1
-        for e, (qi, rev) in enumerate(entries):  # reference emission order
-            sel = entry_of_match == e
-            sub = seed_mode.SeedMatches(
-                m.refpos[sel], m.qpos[sel], m.length[sel])
-            _emit(qi, rev, sub, int(qstarts[e]))
-    else:
-        for qi in range(query_set.num_seqs):
-            for rev in strands:
-                qcodes = query_set.sequence(qi).codes
-                if rev:
-                    qcodes = revcomp_codes(qcodes)
-                qbp += len(qcodes)
-                with log.phase("query", bp=len(qcodes),
-                               seq=query_set.names[qi], reverse=rev):
-                    m = _search_one(index, qcodes, cfg, mesh=mesh)
-                _emit(qi, rev, m, 0)
+    def _attach_roofline(rec: dict, m) -> None:
+        # roofline fields (SURVEY.md §5: achieved GB/s IS the project metric)
+        if m.stats:
+            rec.update(pairs=m.stats["pairs"], rounds=m.stats["rounds"],
+                       seed_k=m.stats["k"], bytes=m.stats["bytes_min"])
+
+    def _run_queries() -> None:
+        nonlocal qbp
+        if cfg.mode == MatchMode.MEM and (query_set.num_seqs > 1
+                                          or cfg.both_strands):
+            # MEM needs no per-sequence uniqueness state: every (sequence,
+            # strand) combination joins into ONE separator-delimited text — a
+            # single engine dispatch for the whole request (BASELINE config #2
+            # shape; -b gets both strands in the same dispatch).
+            entries = [(qi, rev) for qi in range(query_set.num_seqs)
+                       for rev in strands]
+            parts = []
+            for qi, rev in entries:
+                codes = query_set.sequence(qi).codes
+                parts.append(revcomp_codes(codes) if rev else codes)
+            lengths = np.array([len(p) for p in parts], dtype=np.int64)
+            joined = FastaSet(
+                names=[f"{qi}/{rev}" for qi, rev in entries],
+                starts=np.concatenate(([0], np.cumsum(lengths)[:-1])),
+                lengths=lengths, codes=np.concatenate(parts))
+            qtext, qstarts = joined.with_separators()
+            qbp += int(lengths.sum())
+            with log.phase("query", bp=len(qtext),
+                           entries=len(entries)) as rec:
+                m = _search_one(index, qtext, cfg, mesh=mesh)
+                _attach_roofline(rec, m)
+            entry_of_match = np.searchsorted(qstarts, m.qpos,
+                                             side="right") - 1
+            for e, (qi, rev) in enumerate(entries):  # ref emission order
+                sel = entry_of_match == e
+                sub = seed_mode.SeedMatches(
+                    m.refpos[sel], m.qpos[sel], m.length[sel])
+                _emit(qi, rev, sub, int(qstarts[e]))
+        else:
+            for qi in range(query_set.num_seqs):
+                for rev in strands:
+                    qcodes = query_set.sequence(qi).codes
+                    if rev:
+                        qcodes = revcomp_codes(qcodes)
+                    qbp += len(qcodes)
+                    with log.phase("query", bp=len(qcodes),
+                                   seq=query_set.names[qi],
+                                   reverse=rev) as rec:
+                        m = _search_one(index, qcodes, cfg, mesh=mesh)
+                        _attach_roofline(rec, m)
+                    _emit(qi, rev, m, 0)
+
+    # Perfetto device trace of the whole query stream when SLAMEM_TRACE_DIR
+    # is set (SURVEY.md §5 tracing)
+    with maybe_trace("query"):
+        _run_queries()
     t_query = time.perf_counter() - t1
     stats = {
         "index_build_s": t_build,

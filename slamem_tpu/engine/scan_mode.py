@@ -55,19 +55,49 @@ def get_pyramid(index: FMIndex) -> LcpPyramid:
     return pyr
 
 
-def _backward(index: FMIndex, c: jax.Array, lo: jax.Array, hi: jax.Array):
+def _occ_fn(index: FMIndex, rows, use_pallas: bool, interpret: bool = False):
+    """Batched occ closure: Pallas interleaved-row kernel or XLA gather.
+
+    The Pallas path pads the batch to the kernel's 1024-query granule inside
+    the closure; under jit the lane count is static so this compiles once.
+    """
+    if not use_pallas:
+        return lambda chars, positions: rank_batch(index, chars, positions)
+    from slamem_tpu.kernels.rank import GSIZE, TILE, rank_rows_padded
+
+    def occ(chars, positions):
+        b = chars.shape[0]
+        granule = GSIZE * TILE
+        bp = -(-b // granule) * granule
+        cpad = jnp.concatenate(
+            [chars.astype(jnp.uint32), jnp.zeros((bp - b,), jnp.uint32)]
+        ).reshape(-1, TILE)
+        ppad = jnp.concatenate(
+            [positions.astype(jnp.int32), jnp.zeros((bp - b,), jnp.int32)]
+        ).reshape(-1, TILE)
+        return rank_rows_padded(rows, cpad, ppad,
+                                interpret=interpret).reshape(-1)[:b]
+
+    return occ
+
+
+def _backward(index: FMIndex, occ_fn, c: jax.Array, lo: jax.Array,
+              hi: jax.Array):
     cc = jnp.clip(c, 0, 3)
     both = jnp.concatenate([lo, hi])
-    occ = rank_batch(index, jnp.concatenate([cc, cc]), both)
+    occ = occ_fn(jnp.concatenate([cc, cc]), both)
     k = lo.shape[0]
     base = index.counts[cc]
     return base + occ[:k], base + occ[k:]
 
 
-@functools.partial(jax.jit, static_argnames=("L", "lane_block"))
-def _scan_lanes(index: FMIndex, pyr: LcpPyramid, qt: jax.Array, L: int,
-                lane_block: int):
+@functools.partial(jax.jit, static_argnames=("L", "lane_block", "use_pallas",
+                                             "interpret"))
+def _scan_lanes(index: FMIndex, pyr: LcpPyramid, rows, qt: jax.Array, L: int,
+                lane_block: int, use_pallas: bool = False,
+                interpret: bool = False):
     """Lockstep capped-MS scan; returns (lo, width) at depth L per position."""
+    occ_fn = _occ_fn(index, rows, use_pallas, interpret)
     m = qt.shape[0]
     n = index.n
     B = lane_block
@@ -100,7 +130,7 @@ def _scan_lanes(index: FMIndex, pyr: LcpPyramid, qt: jax.Array, L: int,
 
         def body(state):
             l, r, d, pending = state
-            l2, r2 = _backward(index, c, l, r)
+            l2, r2 = _backward(index, occ_fn, c, l, r)
             l2 = l2.astype(jnp.int32)
             r2 = r2.astype(jnp.int32)
             ok = (c < 4) & (l2 < r2)
@@ -129,12 +159,39 @@ def _scan_lanes(index: FMIndex, pyr: LcpPyramid, qt: jax.Array, L: int,
     return out_lo, out_w
 
 
+def _want_pallas(rank_kernel: str) -> tuple[bool, bool]:
+    """Resolve Config.rank_kernel -> (use_pallas, interpret).
+
+    'auto' = compiled Pallas on TPU, XLA gather on CPU; 'pallas'/'xla' force
+    one; 'pallas_interpret' runs the kernel logic through the interpreter
+    (CPU equivalence tests).
+    """
+    if rank_kernel == "pallas":
+        return True, False
+    if rank_kernel == "pallas_interpret":
+        return True, True
+    if rank_kernel == "xla":
+        return False, False
+    import jax
+
+    return jax.devices()[0].platform not in ("cpu",), False
+
+
 def scan_intervals(index: FMIndex, query_text: np.ndarray, L: int,
-                   lane_block: int = 256) -> tuple[jax.Array, jax.Array]:
+                   lane_block: int = 256, rank_kernel: str = "auto"
+                   ) -> tuple[jax.Array, jax.Array]:
     """Per-position SA intervals of q[i:i+L] (width 0 where absent)."""
     qt = jnp.asarray(query_text, dtype=jnp.uint8)
     pyr = get_pyramid(index)
-    lo, w = _scan_lanes(index, pyr, qt, L, lane_block)
+    use_pallas, interpret = _want_pallas(rank_kernel)
+    if use_pallas:
+        from slamem_tpu.kernels.rank import interleaved_rows
+
+        rows = interleaved_rows(index)
+    else:
+        rows = jnp.zeros((1, 128), jnp.uint32)  # unused placeholder
+    lo, w = _scan_lanes(index, pyr, rows, qt, L, lane_block, use_pallas,
+                        interpret)
     return lo, w
 
 
@@ -146,7 +203,7 @@ def find_scan_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     L = cfg.min_length
     qp = seed_mode.pad_query(query_text)  # N-padding: no spurious intervals
     m = int(qp.shape[0])
-    lo, width = scan_intervals(index, qp, L)
+    lo, width = scan_intervals(index, qp, L, rank_kernel=cfg.rank_kernel)
     # FM hits never touch specials: plain SA doubles as the all-valid
     # sign-augmented view (augment_sa with validity all-true)
     return seed_mode.pairs_to_matches(index, lo, width, L, m, cfg, mesh,

@@ -4,8 +4,9 @@ This replaces the reference's sequential right-to-left backward-search loop
 (SURVEY.md §3.2) with a fully data-parallel formulation whose every stage is
 a batched gather / sort / scan XLA maps directly onto TPU hardware:
 
-  1. pack every query position's K-mer (K = min(L, cap)) into a uint32
-     word (int64 when K > 16);
+  1. pack every query position's K-mer (K = min(L, cap)) into one uint32
+     word (K <= 16) or two lexicographically-ordered uint32 words
+     (K <= 32) — the hot path never holds a 64-bit value;
   2. find its suffix-array interval by vectorized sorted search against the
      packed K-mers of the reference in SA order (one monotone table);
   3. expand intervals into (diagonal, qpos) candidate pairs under a fixed
@@ -60,17 +61,25 @@ _I64MAX = np.iinfo(np.int64).max
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def packed_kmers(text: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
-    """(packed, valid) for every position of a code text.
+def packed_key_words(text: jax.Array, k: int
+                     ) -> tuple[tuple[jax.Array, ...], jax.Array]:
+    """(words, valid) for every position of a code text, K <= 32.
 
-    packed[i] = the K chars from i as a base-4 word, truncated at the first
-    special (N/SEP/end): chars from the first special onward contribute 0.
-    valid[i] = window [i, i+k) lies inside the text and contains no special.
+    words is a tuple of uint32 arrays: word 0 packs chars [i, i+16) base-4,
+    word 1 (present when k > 16) packs chars [i+16, i+k). Comparing windows
+    word-lexicographically equals comparing their K characters, because word
+    0 always covers a fixed 16-char prefix. Packing stops at the first
+    special (N/SEP/end): chars from the first special onward contribute 0,
+    and valid[i] = window [i, i+k) lies inside the text with no special.
 
-    The truncation rule makes the packed value of an invalid window <= the
-    packed value of any real window sharing its prefix, which is exactly what
-    keeps the SA-ordered reference table non-decreasing (specials sort below
-    A in the index's suffix order) — see seed_table.
+    The truncation rule makes the packed words of an invalid window <= the
+    words of any real window sharing its prefix (word-lexicographically),
+    which is exactly what keeps the SA-ordered reference table non-decreasing
+    (specials sort below A in the index's suffix order) — see seed_table.
+
+    Two uint32 words instead of one int64: 64-bit compares/sorts/gathers
+    cost 2-6x on v5e (measured round 1) — the dual-word key removes the
+    K=16 collision wall (n*m/4^16 random pairs at chr scale) at int32 speed.
     """
     n = text.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
@@ -78,19 +87,83 @@ def packed_kmers(text: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     next_special = jax.lax.cummin(special_at, reverse=True)
     valid = next_special - pos >= k
     padded = jnp.concatenate([text, jnp.zeros((k,), jnp.uint8)])
-    # k <= 16 packs into uint32 — int64 compares/sorts/gathers cost 2-6x on
-    # TPU (measured), so the narrow dtype is the default fast path
-    dt = jnp.uint32 if k <= 16 else jnp.int64
-    acc = jnp.zeros((n,), dt)
-    for t in range(k):
-        ch = padded[t:t + n].astype(dt)
-        mask = pos + t < next_special
-        acc = acc * 4 + jnp.where(mask, ch, jnp.zeros((), dt))
-    return acc, valid
+    words = []
+    for w0 in range(0, k, 16):
+        acc = jnp.zeros((n,), jnp.uint32)
+        for t in range(w0, min(w0 + 16, k)):
+            ch = padded[t:t + n].astype(jnp.uint32)
+            mask = pos + t < next_special
+            acc = acc * 4 + jnp.where(mask, ch, jnp.uint32(0))
+        words.append(acc)
+    return tuple(words), valid
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def packed_kmers(text: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Single-word (k <= 16) packing — thin wrapper over packed_key_words."""
+    assert k <= 16, "packed_kmers is the single-word path; use packed_key_words"
+    words, valid = packed_key_words(text, k)
+    return words[0], valid
+
+
+def _lex_lt(v: tuple[jax.Array, ...], q: tuple[jax.Array, ...]) -> jax.Array:
+    """v < q word-lexicographically (tuples of equal-length uint32 arrays)."""
+    lt = jnp.zeros(v[0].shape, jnp.bool_)
+    for vw, qw in reversed(list(zip(v, q))):
+        lt = (vw < qw) | ((vw == qw) & lt)
+    return lt
+
+
+def _lex_le(v: tuple[jax.Array, ...], q: tuple[jax.Array, ...]) -> jax.Array:
+    """v <= q word-lexicographically."""
+    le = jnp.ones(v[0].shape, jnp.bool_)
+    for vw, qw in reversed(list(zip(v, q))):
+        le = (vw < qw) | ((vw == qw) & le)
+    return le
+
+
+def lex_searchsorted(words: tuple[jax.Array, ...],
+                     qwords: tuple[jax.Array, ...], side: str) -> jax.Array:
+    """searchsorted over a word-lexicographic sorted multi-word key table.
+
+    Plain vectorized binary search (ceil(log2 n) probes, len(words) gathers
+    per probe); the perf frontends (_join_intervals / _bucket_intervals)
+    avoid it — this serves the distributed paths where the table is a local
+    slab.
+    """
+    n = words[0].shape[0]
+    probes = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
+    m = qwords[0].shape[0]
+    lo = jnp.zeros((m,), jnp.int32)
+    hi = jnp.full((m,), n, jnp.int32)
+    cmp = _lex_lt if side == "left" else _lex_le
+    for _ in range(probes):
+        mid = (lo + hi) // 2
+        v = tuple(w[jnp.clip(mid, 0, n - 1)] for w in words)
+        go = cmp(v, qwords) & (lo < hi)
+        lo = jnp.where(go, mid + 1, lo)
+        hi = jnp.where(go | (lo >= hi), hi, mid)
+    return lo
 
 
 _seed_table_cache: dict[tuple[int, int], tuple] = {}
-_last_total_cache: dict[tuple[int, int], int] = {}
+_last_total_cache: dict[tuple[int, int], tuple] = {}
+
+
+def _last_total(index: FMIndex, k: int) -> int:
+    """Last observed total pair count for (index, k); guarded by array
+    identity like the sibling caches (a recycled id() must not mis-steer
+    the fused-skip heuristic)."""
+    hit = _last_total_cache.get((id(index.sa), k))
+    if hit is not None and hit[0] is index.sa:
+        return hit[1]
+    return 0
+
+
+def _set_last_total(index: FMIndex, k: int, total: int) -> None:
+    if len(_last_total_cache) > 16:
+        _last_total_cache.clear()
+    _last_total_cache[(id(index.sa), k)] = (index.sa, total)
 
 # fallback rounds may grow their buffers (amortizing dispatch overhead) only
 # when the configured capacity is at least this — deliberately small
@@ -99,26 +172,28 @@ _last_total_cache: dict[tuple[int, int], int] = {}
 _GROWTH_MIN_CAPACITY = 1 << 22
 
 
-def seed_table(index: FMIndex, k: int) -> tuple[jax.Array, jax.Array]:
-    """(refk, sa_aug): packed K-mers in SA order + sign-augmented SA.
+def seed_table(index: FMIndex, k: int
+               ) -> tuple[tuple[jax.Array, ...], jax.Array]:
+    """(refk_words, sa_aug): packed K-mers in SA order + sign-augmented SA.
 
-    refk is non-decreasing (argued in packed_kmers), so sorted search against
-    it yields the SA interval of any ACGT K-mer. Rows whose window touches a
-    special carry the sign-bit invalid flag in sa_aug (augment_sa) and are
-    filtered at pair expansion. Cached per (index, k): one build serves
-    every query sequence/strand.
+    refk_words (tuple of uint32 arrays, word-lexicographic) is non-decreasing
+    (argued in packed_key_words), so sorted search against it yields the SA
+    interval of any ACGT K-mer. Rows whose window touches a special carry the
+    sign-bit invalid flag in sa_aug (augment_sa) and are filtered at pair
+    expansion. Cached per (index, k): one build serves every query
+    sequence/strand.
     """
     key = (id(index.sa), k)
     hit = _seed_table_cache.get(key)
     if hit is not None and hit[0] is index.sa:
         return hit[1], hit[2]
-    packed, valid = packed_kmers(index.text, k)
-    refk = packed[index.sa]
+    words, valid = packed_key_words(index.text, k)
+    refk_words = tuple(w[index.sa] for w in words)
     sa_aug = augment_sa(index.sa, valid[index.sa])
     if len(_seed_table_cache) > 8:
         _seed_table_cache.clear()
-    _seed_table_cache[key] = (index.sa, refk, sa_aug)
-    return refk, sa_aug
+    _seed_table_cache[key] = (index.sa, refk_words, sa_aug)
+    return refk_words, sa_aug
 
 
 # ---------------------------------------------------------------------------
@@ -126,13 +201,19 @@ def seed_table(index: FMIndex, k: int) -> tuple[jax.Array, jax.Array]:
 # ---------------------------------------------------------------------------
 
 @jax.jit
-def seed_intervals(refk: jax.Array, qk: jax.Array, qvalid: jax.Array
+def seed_intervals(refk, qk, qvalid: jax.Array
                    ) -> tuple[jax.Array, jax.Array]:
-    """SA interval [lo, lo+width) of every query window's K-mer."""
-    lo = jnp.searchsorted(refk, qk, side="left")
-    hi = jnp.searchsorted(refk, qk, side="right")
+    """SA interval [lo, lo+width) of every query window's K-mer.
+
+    Accepts single-word arrays or word tuples; int32 out (simple reference
+    frontend — the fast paths are _join_intervals / _bucket_intervals).
+    """
+    refk_w = refk if isinstance(refk, tuple) else (refk,)
+    qk_w = qk if isinstance(qk, tuple) else (qk,)
+    lo = lex_searchsorted(refk_w, qk_w, side="left")
+    hi = lex_searchsorted(refk_w, qk_w, side="right")
     width = jnp.where(qvalid, hi - lo, 0)
-    return lo.astype(jnp.int64), width.astype(jnp.int64)
+    return lo.astype(jnp.int32), width.astype(jnp.int32)
 
 
 _I32MAX = np.iinfo(np.int32).max
@@ -141,18 +222,19 @@ _bucket_cache: dict[tuple[int, int], tuple] = {}
 
 
 @functools.partial(jax.jit, static_argnames=("bbits", "shift"))
-def _build_bucket_table(refk: jax.Array, bbits: int, shift: int):
-    """Prefix-bucket starts over the sorted K-mer table.
+def _build_bucket_table(refk0: jax.Array, bbits: int, shift: int):
+    """Prefix-bucket starts over the sorted K-mer table (word 0 prefixes).
 
-    starts[b] = first SA row whose K-mer prefix (top bbits) >= b, via
-    scatter-min + reverse cummin — one pass over n. With the table sorted,
-    [starts[b], starts[b+1]) brackets every K-mer in bucket b, so per-query
-    binary search needs only log2(max bucket) probes instead of log2(n).
+    starts[b] = first SA row whose K-mer prefix (top bbits of word 0) >= b,
+    via scatter-min + reverse cummin — one pass over n. With the table
+    sorted, [starts[b], starts[b+1]) brackets every K-mer in bucket b, so
+    per-query binary search needs only log2(max bucket) probes instead of
+    log2(n).
     """
-    n = refk.shape[0]
+    n = refk0.shape[0]
     nb = 1 << bbits
     pref = jax.lax.shift_right_logical(
-        refk, jnp.asarray(shift, refk.dtype)).astype(jnp.int32)
+        refk0, jnp.asarray(shift, refk0.dtype)).astype(jnp.int32)
     starts = jnp.full((nb + 1,), n, jnp.int32).at[
         jnp.clip(pref, 0, nb - 1)].min(jnp.arange(n, dtype=jnp.int32))
     starts = jax.lax.cummin(starts, reverse=True)
@@ -166,10 +248,11 @@ def bucket_table(index: FMIndex, k: int):
     hit = _bucket_cache.get(key)
     if hit is not None and hit[0] is index.sa:
         return hit[1], hit[2], hit[3]
-    refk, _ = seed_table(index, k)
-    bbits = min(2 * k, 24)
-    shift = 2 * k - bbits
-    starts, max_bucket = _build_bucket_table(refk, bbits, shift)
+    refk_words, _ = seed_table(index, k)
+    word0_bits = 2 * min(k, 16)
+    bbits = min(word0_bits, 24)
+    shift = word0_bits - bbits
+    starts, max_bucket = _build_bucket_table(refk_words[0], bbits, shift)
     probes = max(1, int(np.ceil(np.log2(max(int(max_bucket), 2)))) + 1)
     if len(_bucket_cache) > 8:
         _bucket_cache.clear()
@@ -177,32 +260,31 @@ def bucket_table(index: FMIndex, k: int):
     return starts, shift, probes
 
 
-def _bucket_intervals(refk: jax.Array, starts: jax.Array, qk: jax.Array,
+def _bucket_intervals(refk, starts: jax.Array, qk,
                       qvalid: jax.Array, shift: int, probes: int):
     """Per-query interval bounds via bucket bracket + bounded binary search.
 
-    Cost: 2 gathers into the bucket table + 2*probes gathers into refk per
-    query — independent of n. Beats the combined-sort join when the
+    Cost: 2 gathers into the bucket table + 2*probes*words gathers into refk
+    per query — independent of n. Beats the combined-sort join when the
     reference table is much larger than the query batch (chr scale), where
     re-sorting n + m entries per query dominates.
     """
-    n = refk.shape[0]
+    refk_w = refk if isinstance(refk, tuple) else (refk,)
+    qk_w = qk if isinstance(qk, tuple) else (qk,)
+    n = refk_w[0].shape[0]
     b = jax.lax.shift_right_logical(
-        qk, jnp.asarray(shift, qk.dtype)).astype(jnp.int32)
+        qk_w[0], jnp.asarray(shift, qk_w[0].dtype)).astype(jnp.int32)
     lo0 = starts[b]
     hi0 = starts[b + 1]
 
     def search(side_left):
         lo = lo0
         hi = hi0
+        cmp = _lex_lt if side_left else _lex_le
         for _ in range(probes):
             mid = (lo + hi) // 2
-            v = refk[jnp.clip(mid, 0, n - 1)]
-            if side_left:
-                go = v < qk
-            else:
-                go = v <= qk
-            go = go & (lo < hi)
+            v = tuple(w[jnp.clip(mid, 0, n - 1)] for w in refk_w)
+            go = cmp(v, qk_w) & (lo < hi)
             lo = jnp.where(go, mid + 1, lo)
             hi = jnp.where(go | (lo >= hi), hi, mid)
         return lo
@@ -260,7 +342,7 @@ def _expand_pairs_core(sa_aug: jax.Array, lo: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def query_frontend(refk: jax.Array, qt: jax.Array, k: int):
+def query_frontend(refk, qt: jax.Array, k: int):
     """Fused packing + sorted search + planning stats: one dispatch.
 
     Also returns the device-resident width cumsum and a tiny summary
@@ -268,40 +350,47 @@ def query_frontend(refk: jax.Array, qt: jax.Array, k: int):
     shipping the full width array to the host costs tens of MB per query on
     tunneled backends.
     """
-    qk, qvalid = packed_kmers(qt, k)
-    lo, width = _join_intervals(refk, qk, qvalid)
+    qk_w, qvalid = packed_key_words(qt, k)
+    lo, width = _join_intervals(refk, qk_w, qvalid)
     cum = jnp.cumsum(width.astype(jnp.int64))
     summary = jnp.stack([cum[-1], jnp.max(width).astype(jnp.int64)])
     return lo, width, cum, summary
 
 
-def _join_intervals(refk: jax.Array, qk: jax.Array, qvalid: jax.Array
+def _join_intervals(refk, qk, qvalid: jax.Array
                     ) -> tuple[jax.Array, jax.Array]:
     """Both SA-interval bounds of every query K-mer from ONE combined sort.
 
-    Sort (key, tag, idx) with refs tagged 0 and queries 1: within a run of
-    equal keys all refs precede all queries, so for a query at sorted slot p
-    with run start rs, refs-before-run-start = its LEFT bound and
+    Sort (key words..., tag, idx) with refs tagged 0 and queries 1: within a
+    run of equal keys all refs precede all queries, so for a query at sorted
+    slot p with run start rs, refs-before-run-start = its LEFT bound and
     refs-up-to-p = its RIGHT bound — one variadic int32-friendly sort plus
     cumsum/cummax, instead of two sort-method searchsorteds that each re-sort
     the query side.
     """
-    n = refk.shape[0]
-    m = qk.shape[0]
-    key = jnp.concatenate([refk, qk])
+    refk_w = refk if isinstance(refk, tuple) else (refk,)
+    qk_w = qk if isinstance(qk, tuple) else (qk,)
+    n = refk_w[0].shape[0]
+    m = qk_w[0].shape[0]
+    keys = tuple(jnp.concatenate([rw, qw]) for rw, qw in zip(refk_w, qk_w))
     tag = jnp.concatenate([jnp.zeros((n,), jnp.int32),
                            jnp.ones((m,), jnp.int32)])
     idx = jnp.concatenate([jnp.zeros((n,), jnp.int32),
                            jnp.arange(m, dtype=jnp.int32)])
-    key_s, tag_s, idx_s = jax.lax.sort((key, tag, idx), dimension=0,
-                                       num_keys=2)
+    sorted_ops = jax.lax.sort((*keys, tag, idx), dimension=0,
+                              num_keys=len(keys) + 1)
+    keys_s = sorted_ops[:len(keys)]
+    tag_s = sorted_ops[-2]
+    idx_s = sorted_ops[-1]
     is_ref = 1 - tag_s
     crefs = jnp.cumsum(is_ref, dtype=jnp.int32)        # inclusive
     excl = crefs - is_ref                              # refs strictly before
     pos = jnp.arange(n + m, dtype=jnp.int32)
+    same_key = jnp.ones((n + m - 1,), jnp.bool_)
+    for ks in keys_s:
+        same_key = same_key & (ks[1:] == ks[:-1])
     new_run = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32),
-         (key_s[1:] != key_s[:-1]).astype(jnp.int32)])
+        [jnp.ones((1,), jnp.int32), (~same_key).astype(jnp.int32)])
     rs = jax.lax.cummax(jnp.where(new_run == 1, pos, 0))
     left = excl[rs]
     right = crefs  # == excl at query slots (tag 1)
@@ -330,14 +419,11 @@ def plan_blocks_on_device(cum: jax.Array, summary: np.ndarray, capacity: int,
     total, max_w = int(summary[0]), int(summary[1])
     if total == 0:
         return []
-    if max_w > capacity // 2:
-        if max_w >= capacity:
-            raise NotImplementedError(
-                f"a query position has interval width {max_w} >= "
-                f"pair_capacity {capacity}; raise pair_capacity")
-        step = capacity - max_w
-    else:
-        step = capacity - max_w
+    if max_w >= capacity:
+        raise NotImplementedError(
+            f"a query position has interval width {max_w} >= "
+            f"pair_capacity {capacity}; raise pair_capacity")
+    step = capacity - max_w
     nrounds = -(-total // step)
     grid = jnp.arange(1, nrounds + 1, dtype=jnp.int64) * step
     bounds = np.asarray(_plan_bounds(cum, grid))
@@ -443,8 +529,8 @@ def fused_query(refk, sa_aug, qt, k: int, capacity: int,
     (lo, width, cum, summary) device arrays feed the planned multi-round
     path with no recomputation.
     """
-    qk, qvalid = packed_kmers(qt, k)
-    lo, width = _join_intervals(refk, qk, qvalid)
+    qk_w, qvalid = packed_key_words(qt, k)
+    lo, width = _join_intervals(refk, qk_w, qvalid)
     return _fused_tail(lo, width, sa_aug, qt.shape[0], capacity,
                        run_capacity)
 
@@ -456,8 +542,8 @@ def fused_query_bucket(refk, starts, sa_aug, qt, k: int, capacity: int,
                        run_capacity: int, shift: int, probes: int):
     """fused_query with the bucket frontend — for references much larger
     than the query batch, where the join would re-sort n + m entries."""
-    qk, qvalid = packed_kmers(qt, k)
-    lo, width = _bucket_intervals(refk, starts, qk, qvalid, shift, probes)
+    qk_w, qvalid = packed_key_words(qt, k)
+    lo, width = _bucket_intervals(refk, starts, qk_w, qvalid, shift, probes)
     return _fused_tail(lo, width, sa_aug, qt.shape[0], capacity,
                        run_capacity)
 
@@ -557,6 +643,30 @@ class SeedMatches:
     length: np.ndarray   # int64
     pairs_by_qpos: tuple[np.ndarray, np.ndarray] | None = None
     pairs_by_refpos: tuple[np.ndarray, np.ndarray] | None = None
+    stats: dict | None = None  # {'pairs', 'k', 'rounds', 'bytes_min'}
+
+
+def roofline_bytes(n: int, m: int, k_words: int, pairs: int,
+                   bucket: bool) -> int:
+    """LOWER-BOUND HBM bytes of one seed query (the roofline denominator).
+
+    Exact components: the frontend either sorts the n+m combined key rows
+    (k_words+2 int32 columns, one read + one write pass is the floor) or
+    bucket-probes refk (2 * ~12 probes * k_words gathers of 4 B per query
+    position, counted as m * probes * words * 4); expansion gathers 4 B of
+    sa_aug per pair; the pair sort reads+writes 8 B keys at least once; run
+    compaction reads them once more. A radix sort makes several passes, so
+    achieved time can exceed this floor — hbm_fraction computed from it is a
+    conservative (never flattering) roofline estimate (SURVEY.md §5).
+    """
+    if bucket:
+        frontend = m * 2 * 12 * k_words * 4
+    else:
+        frontend = (n + m) * 4 * (k_words + 2) * 2
+    expand = pairs * 4
+    pair_sort = pairs * 8 * 2
+    compact = pairs * 8
+    return int(frontend + expand + pair_sort + compact)
 
 
 def _plan_blocks(cum: np.ndarray, m: int, capacity: int,
@@ -598,22 +708,41 @@ def pad_query(query_text: np.ndarray) -> np.ndarray:
                            np.full(m_p - m, CODE_N, np.uint8)])
 
 
+def choose_seed_k(n: int, m: int, min_length: int, cap: int) -> int:
+    """Seed depth K: min(L, cap), dropped to 16 when one word suffices.
+
+    Random K-mer collisions contribute ~n*m/4^K candidate pairs; at
+    bacterial scale (config #1) that is thousands at K=16 and the single
+    uint32 word is cheaper (half the packing shifts, table bytes and sort
+    columns). At chr scale it is 10^8..10^10 — the round-1 scaling wall —
+    so the dual-word K <= 32 frontend takes over exactly when the noise
+    would exceed a small fraction of a round's pair budget.
+    """
+    k = min(min_length, cap)
+    if k <= 16:
+        return k
+    if float(n) * float(m) / float(4 ** 16) < (1 << 20):
+        return 16
+    return k
+
+
 def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                       mesh=None) -> SeedMatches:
     """All maximal matches of length >= cfg.min_length (mode filters later).
 
     Seed frontend: packed K-mer sorted search yields per-position intervals
-    at depth K = min(L, seed_length_cap); the shared backend does the rest.
-    The query is padded to a length bucket (N padding produces no windows)
-    so every stage compiles once per bucket, not per query length.
+    at depth K = choose_seed_k(...) <= min(L, seed_length_cap); the shared
+    backend does the rest. The query is padded to a length bucket (N padding
+    produces no windows) so every stage compiles once per bucket, not per
+    query length.
     """
-    k = cfg.seed_length
     qp = pad_query(query_text)
     m_p = int(qp.shape[0])
+    k = choose_seed_k(index.n, m_p, cfg.min_length, cfg.seed_length_cap)
     refk, sa_aug = seed_table(index, k)
     capacity = int(cfg.pair_capacity)
     run_cap = max(4096, capacity // 16)
-    skip_fused = _last_total_cache.get((id(index.sa), k), 0) > capacity
+    skip_fused = _last_total(index, k) > capacity
     if cfg.mode.value == "mem" and not skip_fused and (
             mesh is None or len(mesh.devices.flat) == 1):
         # optimistic single-dispatch fast path (overflow falls through);
@@ -630,22 +759,27 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                 run_cap)
         wire = np.asarray(packed)  # the one round trip
         nr, total, max_w = (int(wire[-3]), int(wire[-2]), int(wire[-1]))
-        _last_total_cache[(id(index.sa), k)] = total
+        _set_last_total(index, k, total)
         if total <= min(capacity, np.iinfo(np.int32).max - 1)                 and nr <= run_cap:
             runs = runs_from_compacted32(
                 wire[:run_cap], wire[run_cap:2 * run_cap],
                 wire[2 * run_cap:3 * run_cap], nr, m_p + 1)
             length = runs.qend - runs.qstart + k
             keep = length >= cfg.min_length
-            return SeedMatches(refpos=(runs.diag + runs.qstart)[keep],
-                               qpos=runs.qstart[keep], length=length[keep])
+            return SeedMatches(
+                refpos=(runs.diag + runs.qstart)[keep],
+                qpos=runs.qstart[keep], length=length[keep],
+                stats={"pairs": total, "k": k, "rounds": 1,
+                       "bytes_min": roofline_bytes(
+                           index.n, m_p, len(refk), total,
+                           bucket=index.n > 2 * m_p)})
         return pairs_to_matches(index, lo, width, k, m_p, cfg, mesh,
                                 sa_aug, cum=cum,
                                 summary=np.asarray(summary))
     lo, width, cum, summary = query_frontend(refk, jnp.asarray(qp), k)
     summary_h = np.asarray(summary)
     if cfg.mode.value == "mem":
-        _last_total_cache[(id(index.sa), k)] = int(summary_h[0])
+        _set_last_total(index, k, int(summary_h[0]))
     return pairs_to_matches(index, lo, width, k, m_p, cfg, mesh, sa_aug,
                             cum=cum, summary=summary_h)
 
@@ -746,7 +880,8 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                     np.asarray(d_s), np.asarray(q_s), int(diag_mod) // 2, k,
                     want_pairs))
     else:
-        from slamem_tpu.dist.seed import sharded_expand_sort
+        from slamem_tpu.dist.seed import (expand_runs_gathered,
+                                          sharded_expand_sort)
 
         ndev = len(mesh.devices.flat)
         for g in range(0, len(blocks), ndev):
@@ -757,16 +892,63 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
             for d, (st, en) in enumerate(group):
                 starts[d] = st
                 limits[d] = en
-            d_all, q_all, _total = sharded_expand_sort(
-                mesh, sa_aug, lo_ext, w_ext,
-                jnp.asarray(starts), jnp.asarray(limits),
-                m_off32, capacity, block)
-            d_h = np.asarray(d_all)
-            q_h = np.asarray(q_all)
-            for di in range(len(group)):
-                _collect(runs_from_sorted_pairs(
-                    d_h[di], q_h[di], int(diag_mod) // 2, k, want_pairs))
+            if not want_pairs:
+                # production path: on-device run compaction + all_gather'ed
+                # run triples (collective merge, BASELINE north star) — the
+                # host decodes runs, it never sorts pairs
+                gd, gqs, gqe, gnr, _tot = expand_runs_gathered(
+                    mesh, sa_aug, lo_ext, w_ext,
+                    jnp.asarray(starts), jnp.asarray(limits),
+                    m_off32, capacity, run_cap, block)
+                gnr_h = np.asarray(gnr)
+                gd_h, gqs_h, gqe_h = (np.asarray(gd), np.asarray(gqs),
+                                      np.asarray(gqe))
+                for di, (st, en) in enumerate(group):
+                    nr = int(gnr_h[di])
+                    if nr <= run_cap:
+                        batches.append(runs_from_compacted32(
+                            gd_h[di], gqs_h[di], gqe_h[di], nr,
+                            int(diag_mod) // 2))
+                    else:  # run overflow: fetch this block's raw pairs
+                        d_s, q_s = expand_block_pairs(
+                            sa_aug, lo_ext, w_ext,
+                            jnp.asarray(st, jnp.int64),
+                            jnp.asarray(en, jnp.int64), m_off32, capacity,
+                            block)
+                        batches.append(runs_from_sorted_pairs(
+                            np.asarray(d_s), np.asarray(q_s),
+                            int(diag_mod) // 2, k, False))
+            else:
+                d_all, q_all, _total = sharded_expand_sort(
+                    mesh, sa_aug, lo_ext, w_ext,
+                    jnp.asarray(starts), jnp.asarray(limits),
+                    m_off32, capacity, block)
+                d_h = np.asarray(d_all)
+                q_h = np.asarray(q_all)
+                for di in range(len(group)):
+                    _collect(runs_from_sorted_pairs(
+                        d_h[di], q_h[di], int(diag_mod) // 2, k,
+                        want_pairs))
 
+    matches = finalize_matches(batches, pair_chunks if want_pairs else None,
+                               k, m, diag_mod, cfg)
+    if summary is not None:
+        total_pairs = int(summary[0])
+        kw = 2 if k > 16 else 1
+        matches.stats = {"pairs": total_pairs, "k": k,
+                         "rounds": len(blocks),
+                         "bytes_min": roofline_bytes(
+                             index.n, m, kw, total_pairs,
+                             bucket=index.n > 2 * m)}
+    return matches
+
+
+def finalize_matches(batches: list[RunBatch],
+                     pair_chunks: list | None, k: int, m: int,
+                     diag_mod: np.int64, cfg: Config) -> SeedMatches:
+    """Merge per-round/per-shard run fragments into final matches (and, for
+    MUM/MAM, rebuild the sorted pair-key tables the occurrence counts use).
+    Shared tail of the replicated and sharded paths."""
     runs = merge_runs(batches) if batches else RunBatch(
         np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64))
     length = runs.qend - runs.qstart + k
@@ -777,7 +959,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
         length=length[keep],
     )
 
-    if want_pairs:
+    if pair_chunks is not None:
         # Pair extents computed inside a round understate runs merged across
         # rounds; recompute from the merged runs: a pair (diag, qpos) belongs
         # to the unique merged run with that diag and qstart <= qpos <= qend.

@@ -1,23 +1,28 @@
 """Pallas TPU kernel for batched FM-index rank/occ queries.
 
-occ(c, j) = count of char c in bwt[0:j) — the reference's per-character
-occ lookup (bwtindex.c layer, SURVEY.md §2) re-shaped for TPU: a tile of 128
-queries per program, per-lane async DMAs stream each query's 128-byte BWT
-block HBM→VMEM (pipelined: all copies start before any wait), then one
-vectorized compare/mask/popcount over the (128, 128) tile plus a one-hot
-checkpoint add produce the answers. Memory traffic per query is exactly one
-checkpoint row (16 B) + one block (128 B) — the design roofline of
-BASELINE's "rank-query inner loop".
+occ(c, j) = count of char c in bwt[0:j) — the reference's per-character occ
+lookup (bwtindex.c layer, SURVEY.md §2) re-designed for the TPU memory
+system. The BWT is re-blocked into an INTERLEAVED table of 128-uint32 rows:
+
+    row b = [ occ_A, occ_C, occ_G, occ_T at position b*496 |
+              124 words x 4 bytes = 496 BWT symbols ]
+
+so one rank query touches exactly ONE 512-byte lane-aligned row — counts and
+symbols arrive in the same DMA (the textbook FM-index cache-block layout,
+here shaped (rows, 128) so Mosaic's tiling accepts dynamic row DMAs; the
+round-1 kernel used per-lane 1D DMAs, which Mosaic rejects with a 1024-tiling
+alignment error). A tile of 128 queries per program pipelines 128 row copies
+HBM->VMEM (all started before any wait), then one vectorized
+compare/mask/popcount over the (128, 124) word tile plus a one-hot count add
+produce the answers.
+
+Memory traffic per query is exactly 512 B — "the rank-query inner loop at
+speed-of-light HBM bandwidth per chip" (BASELINE north star) becomes
+measurable: achieved GB/s = 512 * queries / seconds (see bench.py --rank).
 
 The jnp reference implementation is index.build.rank_batch; equivalence is
-tested in interpret mode on CPU.
-
-KNOWN LIMITATION (this sandbox's jax 0.9 / Mosaic): compiled-mode lowering
-rejects per-lane dynamic DMAs from 1D arrays ("slice shape along dimension 0
-must be aligned to tiling (1024)"), so the compiled path is currently gated
-off; the scan engine uses the XLA rank_batch, which fuses the same
-gather+compare+reduce. Revisit when Mosaic grows unaligned 1D DMA or by
-re-blocking the BWT into lane-aligned 2D rows.
+tested in interpret mode on CPU and in compiled mode on the real chip
+(tests/test_rank_kernel.py).
 """
 
 from __future__ import annotations
@@ -31,121 +36,155 @@ from jax.experimental.pallas import tpu as pltpu
 
 from slamem_tpu.index.build import FMIndex
 
-TILE = 128
+TILE = 128          # queries per program
+ROW_WORDS = 128     # uint32 words per interleaved row (512 B, lane-aligned)
+CNT_WORDS = 4       # leading occ counter words
+SYMS_PER_ROW = (ROW_WORDS - CNT_WORDS) * 4  # 496 BWT symbols per row
+
+_rows_cache: dict[int, tuple] = {}
 
 
-def _rank_kernel(pos_smem, chars_vmem, pos_vmem, bwt_hbm, ckpt_hbm, out_ref,
-                 blocks, ckrows, sems, csems, *, occ_block: int):
-    words_per_block = occ_block // 4
-
-    def _blk(i):
-        # explicit lax arithmetic: the jnp operator path trips a dtype
-        # promotion recursion when tracing SMEM scalar reads on this backend
-        return jax.lax.div(pos_smem[i], jnp.int32(occ_block))
-
-    def get_block_copy(i):
-        blk = _blk(i)
-        return pltpu.make_async_copy(
-            bwt_hbm.at[pl.ds(jax.lax.mul(blk, jnp.int32(words_per_block)),
-                             words_per_block)],
-            blocks.at[i], sems.at[i])
-
-    def get_ckpt_copy(i):
-        return pltpu.make_async_copy(ckpt_hbm.at[_blk(i)], ckrows.at[i],
-                                     csems.at[i])
-
-    def start(i, _):
-        get_block_copy(i).start()
-        get_ckpt_copy(i).start()
-        return 0
-
-    jax.lax.fori_loop(0, TILE, start, 0)
-
-    def wait(i, _):
-        get_block_copy(i).wait()
-        get_ckpt_copy(i).wait()
-        return 0
-
-    jax.lax.fori_loop(0, TILE, wait, 0)
-
-    chars = chars_vmem[:]                       # (TILE,) uint32
-    within = jax.lax.rem(pos_vmem[:], jnp.int32(occ_block))
-    # The BWT arrives as little-endian uint32 words (4 symbols per word,
-    # packed outside the kernel): unpack with integer shifts and compare in
-    # uint32 throughout — Mosaic's unsigned<->signed vector converts recurse.
-    words = blocks[:]                           # (TILE, occ_block // 4)
-    hits = jnp.zeros((TILE,), jnp.int32)
-    for byte in range(4):
-        sub = (words >> (8 * byte)) & jnp.uint32(0xFF)
-        lane_b = (jax.lax.broadcasted_iota(
-            jnp.int32, (TILE, words_per_block), 1) * 4 + byte)
-        hit = (sub == chars[:, None]) & (lane_b < within[:, None])
-        one = jnp.ones((TILE, words_per_block), jnp.int32)
-        zero = jnp.zeros((TILE, words_per_block), jnp.int32)
-        hits = hits + jnp.sum(jnp.where(hit, one, zero), axis=1,
-                              dtype=jnp.int32)
-    onehot = (jax.lax.broadcasted_iota(jnp.uint32, (TILE, 4), 1)
-              == chars[:, None])
-    base = jnp.sum(jnp.where(onehot, ckrows[:],
-                             jnp.zeros((TILE, 4), jnp.int32)),
+@jax.jit
+def _build_rows(bwt: jax.Array) -> jax.Array:
+    """Interleaved (rows, 128) uint32 occ/BWT table from a uint8 BWT."""
+    n = bwt.shape[0]
+    nrows = n // SYMS_PER_ROW + 1  # +1: position j == n stays in range
+    pad = nrows * SYMS_PER_ROW - n
+    # sentinel-pad (6): padding never counts toward any ACGT char
+    sym = jnp.concatenate([bwt, jnp.full((pad,), 6, jnp.uint8)]).reshape(
+        nrows, SYMS_PER_ROW)
+    per_row = (sym[:, :, None] ==
+               jnp.arange(4, dtype=jnp.uint8)[None, None, :]).sum(
                    axis=1, dtype=jnp.int32)
-    out_ref[:] = base + hits
+    prefix = jnp.cumsum(per_row, axis=0) - per_row  # counts before each row
+    words = jax.lax.bitcast_convert_type(
+        sym.reshape(nrows, ROW_WORDS - CNT_WORDS, 4), jnp.uint32)
+    return jnp.concatenate([prefix.astype(jnp.uint32), words], axis=1)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("occ_block", "interpret"))
-def rank_pallas_padded(bwt_words: jax.Array, occ_ckpt: jax.Array,
-                       chars: jax.Array, positions: jax.Array,
-                       occ_block: int, interpret: bool = False) -> jax.Array:
-    """Batched occ; bwt_words = uint32-packed padded BWT, batch a TILE
-    multiple."""
-    b = chars.shape[0]
-    grid = (b // TILE,)
-    kernel = functools.partial(_rank_kernel, occ_block=occ_block)
+def interleaved_rows(index: FMIndex) -> jax.Array:
+    """Cached interleaved occ/BWT table for an index."""
+    key = id(index.sa)
+    hit = _rows_cache.get(key)
+    if hit is not None and hit[0] is index.sa:
+        return hit[1]
+    rows = _build_rows(index.bwt)
+    if len(_rows_cache) > 8:
+        _rows_cache.clear()
+    _rows_cache[key] = (index.sa, rows)
+    return rows
+
+
+GSIZE = 8  # sublane tiles per program: 8 x TILE = 1024 queries/program
+
+
+def _rank_kernel(pos_smem, chars_vmem, pos_vmem, rows_hbm, out_ref,
+                 blocks, sems):
+    nq = GSIZE * TILE
+
+    def get_copy(j):
+        # explicit lax arithmetic, int32 loop bounds: the jnp operator path
+        # trips a dtype promotion recursion when tracing SMEM scalar reads,
+        # and a 64-bit loop counter forces an i64->i32 convert whose Mosaic
+        # lowering rule recurses — both are avoided, not worked around
+        g = jax.lax.div(j, jnp.int32(TILE))
+        i = jax.lax.rem(j, jnp.int32(TILE))
+        blk = jax.lax.div(pos_smem[g, i], jnp.int32(SYMS_PER_ROW))
+        # TILE semaphore slots shared across the GSIZE groups: the sflag
+        # space holds ~512 slots total, and correctness only needs "all
+        # copies landed before any read" — the full wait loop drains exactly
+        # the bytes the full start loop signals, per slot
+        return pltpu.make_async_copy(rows_hbm.at[blk], blocks.at[j],
+                                     sems.at[i])
+
+    def start(j, _):
+        get_copy(j).start()
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(nq), start, jnp.int32(0))
+
+    def wait(j, _):
+        get_copy(j).wait()
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(nq), wait, jnp.int32(0))
+
+    nw = ROW_WORDS - CNT_WORDS
+    for g in range(GSIZE):                       # static unroll
+        chars = chars_vmem[g, :]                 # (TILE,) uint32
+        within = jax.lax.rem(pos_vmem[g, :], jnp.int32(SYMS_PER_ROW))
+        # symbols arrive as little-endian uint32 words (4 per word): unpack
+        # with integer shifts and compare in uint32 throughout — Mosaic's
+        # unsigned<->signed vector converts recurse
+        words = blocks[g * TILE:(g + 1) * TILE, CNT_WORDS:]  # (TILE, 124)
+        hits = jnp.zeros((TILE,), jnp.int32)
+        for byte in range(4):
+            sub = (words >> (8 * byte)) & jnp.uint32(0xFF)
+            lane_b = (jax.lax.broadcasted_iota(jnp.int32, (TILE, nw), 1) * 4
+                      + byte)
+            hit = (sub == chars[:, None]) & (lane_b < within[:, None])
+            one = jnp.ones((TILE, nw), jnp.int32)
+            zero = jnp.zeros((TILE, nw), jnp.int32)
+            hits = hits + jnp.sum(jnp.where(hit, one, zero), axis=1,
+                                  dtype=jnp.int32)
+        onehot = (jax.lax.broadcasted_iota(jnp.uint32, (TILE, CNT_WORDS), 1)
+                  == chars[:, None])
+        # bitcast, not astype: Mosaic's unsigned->signed vector converts
+        # recurse at trace time; counts < 2^31 so the bits are the value
+        cnts = jax.lax.bitcast_convert_type(
+            blocks[g * TILE:(g + 1) * TILE, :CNT_WORDS], jnp.int32)
+        base = jnp.sum(jnp.where(onehot, cnts,
+                                 jnp.zeros((TILE, CNT_WORDS), jnp.int32)),
+                       axis=1, dtype=jnp.int32)
+        out_ref[g, :] = base + hits
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rank_rows_padded(rows: jax.Array, chars: jax.Array,
+                     positions: jax.Array, interpret: bool = False
+                     ) -> jax.Array:
+    """Batched occ over the interleaved table; batch a GSIZE*TILE multiple.
+
+    chars/positions arrive (nprog*GSIZE, TILE): 1D operands get an XLA
+    layout tiling of 1024 that Mosaic's 128-lane expectation rejects, and
+    block sublane counts must divide by 8 — so the batch folds into
+    (GSIZE, TILE) blocks of 1024 queries per program.
+    """
+    grid = (chars.shape[0] // GSIZE,)
     return pl.pallas_call(
-        kernel,
+        _rank_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE,), lambda i: (i,),
+            pl.BlockSpec((GSIZE, TILE), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE,), lambda i: (i,),
+            pl.BlockSpec((GSIZE, TILE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE,), lambda i: (i,),
+            pl.BlockSpec((GSIZE, TILE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            # HBM pinned: ANY lets the compiler pull the checkpoint table
-            # into VMEM, where dynamic row slices hit 1024-tiling alignment
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # rows stay in HBM
         ],
-        out_specs=pl.BlockSpec((TILE,), lambda i: (i,),
+        out_specs=pl.BlockSpec((GSIZE, TILE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b,), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((chars.shape[0], TILE), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((TILE, occ_block // 4), jnp.uint32),
-            pltpu.VMEM((TILE, 4), jnp.int32),
-            pltpu.SemaphoreType.DMA((TILE,)),
+            pltpu.VMEM((GSIZE * TILE, ROW_WORDS), jnp.uint32),
             pltpu.SemaphoreType.DMA((TILE,)),
         ],
         interpret=interpret,
-    )(positions, chars, positions, bwt_words, occ_ckpt)
+    )(positions, chars, positions, rows)
 
 
 def rank_pallas(index: FMIndex, chars: jax.Array, positions: jax.Array,
                 interpret: bool = False) -> jax.Array:
     """occ(c, j) batched — Pallas fast path, drop-in for rank_batch."""
-    B = index.occ_block
-    n_blocks = index.occ_ckpt.shape[0]  # nb + 1
-    padded_len = n_blocks * B
-    bwt_padded = jnp.concatenate(
-        [index.bwt, jnp.full((padded_len - index.n,), 6, jnp.uint8)])
-    bwt_words = jax.lax.bitcast_convert_type(
-        bwt_padded.reshape(-1, 4), jnp.uint32)
+    rows = interleaved_rows(index)
     b = int(chars.shape[0])
-    bp = -(-b // TILE) * TILE
+    bp = -(-b // (GSIZE * TILE)) * (GSIZE * TILE)
     cpad = jnp.concatenate(
-        [chars.astype(jnp.uint32), jnp.zeros((bp - b,), jnp.uint32)])
+        [chars.astype(jnp.uint32), jnp.zeros((bp - b,), jnp.uint32)]
+    ).reshape(-1, TILE)
     ppad = jnp.concatenate(
-        [positions.astype(jnp.int32), jnp.zeros((bp - b,), jnp.int32)])
-    out = rank_pallas_padded(bwt_words, index.occ_ckpt, cpad, ppad, B,
-                             interpret=interpret)
-    return out[:b]
+        [positions.astype(jnp.int32), jnp.zeros((bp - b,), jnp.int32)]
+    ).reshape(-1, TILE)
+    out = rank_rows_padded(rows, cpad, ppad, interpret=interpret)
+    return out.reshape(-1)[:b]

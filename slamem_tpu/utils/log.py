@@ -27,9 +27,12 @@ class PhaseLog:
 
     @contextmanager
     def phase(self, name: str, **fields):
+        """Time a phase. Yields the mutable field dict so callers can attach
+        values only known at exit (bytes touched, pair counts); derived
+        throughput/roofline metrics are computed from the final fields."""
         t0 = time.perf_counter()
         try:
-            yield
+            yield fields
         finally:
             dt = time.perf_counter() - t0
             rec = {"phase": name, "seconds": round(dt, 6), **fields}

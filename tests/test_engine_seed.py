@@ -190,3 +190,129 @@ def test_adaptive_capacity_growth(monkeypatch):
     check(ref, qry, cfg)
     # second query on the same index exercises the fused-skip heuristic
     check(ref, qry, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Dual-word (K <= 32) seed frontend
+# ---------------------------------------------------------------------------
+
+def _force_deep_seeds(monkeypatch, seed_mode):
+    """Bypass the collision heuristic so K = min(L, cap) even at toy scale."""
+    monkeypatch.setattr(seed_mode, "choose_seed_k",
+                        lambda n, m, L, cap: min(L, cap))
+
+
+def test_two_word_table_non_decreasing():
+    import jax.numpy as jnp
+    from slamem_tpu.engine.seed_mode import seed_table
+
+    ref = with_n_runs(random_genome(3000, seed=301), 3, 25, seed=302)
+    idx = build_index(ref)
+    refk_words, _ = seed_table(idx, 24)
+    assert len(refk_words) == 2
+    w0 = np.asarray(refk_words[0]).astype(np.uint64)
+    w1 = np.asarray(refk_words[1]).astype(np.uint64)
+    combined = (w0 << np.uint64(32)) | w1
+    assert np.all(combined[1:] >= combined[:-1])
+
+
+def test_two_word_intervals_match_bruteforce():
+    import jax.numpy as jnp
+    from slamem_tpu.engine.seed_mode import (
+        packed_key_words, seed_intervals, seed_table)
+
+    ref = random_genome(2000, seed=303)
+    qry = mutate(ref, 0.02, 0.002, seed=304)
+    k = 20
+    idx = build_index(ref)
+    refk_words, _ = seed_table(idx, k)
+    qk_words, qv = packed_key_words(jnp.asarray(qry, np.uint8), k)
+    lo, w = seed_intervals(refk_words, qk_words, qv)
+    lo, w = np.asarray(lo), np.asarray(w)
+    # brute force: compare k-length windows of text[sa[r]:] with the query
+    text = np.asarray(idx.text)
+    sa = np.asarray(idx.sa)
+    n = len(text)
+
+    def window(p):
+        wdw = text[p:p + k]
+        if len(wdw) < k or (wdw >= 4).any():
+            return None
+        return bytes(wdw.tolist())
+
+    table = [window(p) for p in sa]
+    for i in range(0, len(qry) - k, 37):
+        wdw = np.asarray(qry, np.uint8)[i:i + k]
+        if len(wdw) < k or (wdw >= 4).any():
+            continue
+        qb = bytes(wdw.tolist())
+        cnt = sum(1 for t in table if t == qb)
+        assert int(w[i]) == cnt, (i, int(w[i]), cnt)
+
+
+def test_two_word_full_pipeline_oracle_parity(monkeypatch):
+    from slamem_tpu.engine import seed_mode
+
+    _force_deep_seeds(monkeypatch, seed_mode)
+    ref = with_n_runs(random_genome(4000, seed=305), 2, 30, seed=306)
+    qry = with_n_runs(mutate(ref, 0.015, 0.0015, seed=307), 2, 20, seed=308)
+    check(ref, qry, Config(min_length=24))          # K = 24, two words
+    check(ref, qry, Config(min_length=40))          # K = 32 cap, L > K
+    for mode in (MatchMode.MAM, MatchMode.MUM):
+        check(np.concatenate([ref, ref[100:400]]), qry,
+              Config(min_length=24, mode=mode))
+
+
+def test_two_word_bucket_vs_join_identical(monkeypatch):
+    import jax.numpy as jnp
+    from slamem_tpu.engine.seed_mode import (
+        bucket_table, packed_key_words, seed_table, _bucket_intervals,
+        _join_intervals)
+
+    ref = with_n_runs(random_genome(8000, seed=309), 3, 60, seed=310)
+    qry = mutate(ref, 0.03, 0.003, seed=311)[:2000]
+    idx = build_index(ref)
+    k = 26
+    refk_words, _ = seed_table(idx, k)
+    qk_words, qv = packed_key_words(jnp.asarray(qry, np.uint8), k)
+    lo_j, w_j = _join_intervals(refk_words, qk_words, qv)
+    starts, shift, probes = bucket_table(idx, k)
+    lo_b, w_b = _bucket_intervals(refk_words, starts, qk_words, qv, shift,
+                                  probes)
+    assert np.array_equal(np.asarray(w_j), np.asarray(w_b))
+    sel = np.asarray(w_j) > 0
+    assert np.array_equal(np.asarray(lo_j)[sel], np.asarray(lo_b)[sel])
+
+
+def test_lex_searchsorted_matches_numpy():
+    import jax.numpy as jnp
+    from slamem_tpu.engine.seed_mode import lex_searchsorted
+
+    rng = np.random.default_rng(312)
+    table = rng.integers(0, 50, size=(500, 2)).astype(np.uint32)
+    order = np.lexsort((table[:, 1], table[:, 0]))
+    table = table[order]
+    q = rng.integers(0, 50, size=(200, 2)).astype(np.uint32)
+    comb_t = table[:, 0].astype(np.uint64) * 64 + table[:, 1]
+    comb_q = q[:, 0].astype(np.uint64) * 64 + q[:, 1]
+    for side in ("left", "right"):
+        got = np.asarray(lex_searchsorted(
+            (jnp.asarray(table[:, 0]), jnp.asarray(table[:, 1])),
+            (jnp.asarray(q[:, 0]), jnp.asarray(q[:, 1])), side))
+        want = np.searchsorted(comb_t, comb_q, side=side)
+        assert np.array_equal(got, want)
+
+
+def test_choose_seed_k_policy():
+    from slamem_tpu.engine.seed_mode import choose_seed_k
+
+    # bacterial scale at L=20: one word suffices (noise ~ 5.8k pairs)
+    assert choose_seed_k(5_000_000, 5_000_000, 20, 32) == 16
+    # chr21-scale synthetic at L=50: K=16 noise is ~373k pairs — still under
+    # the budget fraction, single word stays
+    assert choose_seed_k(40_000_000, 40_000_000, 50, 32) == 16
+    # chr1 scale: K=16 noise ~ 11.6M pairs, two words take over
+    assert choose_seed_k(250_000_000, 200_000_000, 50, 32) == 32
+    # explicit small cap is honored
+    assert choose_seed_k(250_000_000, 200_000_000, 50, 12) == 12
+    assert choose_seed_k(1000, 1000, 10, 32) == 10

@@ -29,3 +29,38 @@ def test_rank_pallas_edges():
     want = np.asarray(rank_batch(idx, chars, pos))
     got = np.asarray(rank_pallas(idx, chars, pos, interpret=True))
     assert np.array_equal(got, want)
+
+
+def test_scan_engine_through_pallas_rank():
+    """Scan frontend driven by the Pallas occ kernel (interpret) == XLA."""
+    from slamem_tpu.engine.scan_mode import scan_intervals
+
+    ref = with_n_runs(random_genome(1500, seed=144), 2, 25, seed=145)
+    qry = random_genome(700, seed=146)
+    idx = build_index(ref)
+    L = 12
+    lo_x, w_x = scan_intervals(idx, qry, L, lane_block=64,
+                               rank_kernel="xla")
+    lo_p, w_p = scan_intervals(idx, qry, L, lane_block=64,
+                               rank_kernel="pallas_interpret")
+    assert np.array_equal(np.asarray(w_x), np.asarray(w_p))
+    sel = np.asarray(w_x) > 0
+    assert np.array_equal(np.asarray(lo_x)[sel], np.asarray(lo_p)[sel])
+
+
+def test_rank_pallas_compiled_on_tpu():
+    """Compiled-mode equivalence on the real chip (skips off-TPU)."""
+    import jax
+    import pytest
+
+    if jax.devices()[0].platform == "cpu":
+        pytest.skip("no TPU in this process")
+    rng = np.random.default_rng(147)
+    t = with_n_runs(random_genome(60_000, seed=148), 2, 30, seed=149)
+    idx = build_index(t)
+    b = 2048
+    chars = rng.integers(0, 4, size=b).astype(np.int32)
+    pos = rng.integers(0, idx.n + 1, size=b).astype(np.int32)
+    want = np.asarray(rank_batch(idx, jnp.asarray(chars), jnp.asarray(pos)))
+    got = np.asarray(rank_pallas(idx, jnp.asarray(chars), jnp.asarray(pos)))
+    assert np.array_equal(got, want)

@@ -1,7 +1,6 @@
 """SA-rank-sharded index tests (BASELINE config #5) on the fake CPU mesh."""
 
 import numpy as np
-import pytest
 
 from slamem_tpu.config import Config, MatchMode
 from slamem_tpu.dist.mesh import make_mesh
@@ -37,9 +36,20 @@ def test_sharded_run_across_slab_boundary():
     assert got == [(0, 0, 2000)]
 
 
-def test_sharded_rejects_unique_modes():
-    idx = build_index(random_genome(500, seed=86))
+def test_sharded_unique_modes_parity():
+    """MUM/MAM on the sharded index match the replicated path exactly."""
+    from slamem_tpu.engine.seed_mode import apply_mode_filter
+
+    ref = with_n_runs(random_genome(3000, seed=86), 2, 30, seed=87)
+    # tandem duplication manufactures non-unique matches for the filters
+    ref = np.concatenate([ref, ref[500:900]])
+    qry = with_n_runs(mutate(ref, 0.02, 0.002, seed=88), 2, 20, seed=89)
+    idx = build_index(ref)
     mesh = make_mesh(8)
-    with pytest.raises(NotImplementedError):
-        find_seed_matches_sharded(idx, np.zeros(100, np.uint8),
-                                  Config(mode=MatchMode.MUM), mesh)
+    for mode in (MatchMode.MAM, MatchMode.MUM):
+        cfg = Config(min_length=14, mode=mode, pair_capacity=512)
+        got = apply_mode_filter(
+            find_seed_matches_sharded(idx, qry, cfg, mesh), cfg)
+        want = apply_mode_filter(find_seed_matches(idx, qry, cfg), cfg)
+        assert tuples(got) == tuples(want)
+        assert len(tuples(want)) > 0
