@@ -35,6 +35,8 @@ Options:
   -save <file>  save the built index (npz) and exit if no query given
   -load <file>  load a previously saved index instead of rebuilding
   -engine <e>   query engine: seed (default) or scan
+  -shard        shard the index by SA-rank range over all devices
+                (chr1-scale references; BASELINE config #5)
   -v            verbose progress/statistics
 """
 
@@ -47,6 +49,7 @@ def parse_args(argv: list[str]) -> tuple[Config, str, list[str], dict]:
     both = False
     plot = None
     engine = "seed"
+    shard = False
     verbose = False
     extras: dict = {"save_index": None, "load_index": None}
     paths: list[str] = []
@@ -94,6 +97,8 @@ def parse_args(argv: list[str]) -> tuple[Config, str, list[str], dict]:
             if i >= len(argv) or argv[i] not in ("seed", "scan"):
                 raise CliError("-engine requires 'seed' or 'scan'")
             engine = argv[i]
+        elif a == "-shard":
+            shard = True
         elif a in ("-v", "--verbose"):
             verbose = True
         elif a in ("-h", "--help"):
@@ -108,7 +113,7 @@ def parse_args(argv: list[str]) -> tuple[Config, str, list[str], dict]:
     try:
         cfg = Config(mode=mode, min_length=min_length, out_path=out_path,
                      both_strands=both, dotplot_path=plot, engine=engine,
-                     verbose=verbose)
+                     shard_index=shard, verbose=verbose)
     except ValueError as e:
         raise CliError(str(e))
     return cfg, paths[0], paths[1:], extras
@@ -175,7 +180,14 @@ def main(argv: list[str] | None = None) -> int:
         query_set = FastaSet(names=names, starts=starts, lengths=lengths,
                              codes=codes)
 
-    out = run_engine(ref_set, query_set, cfg, index=index)
+    mesh = None
+    if cfg.shard_index:
+        import jax
+
+        from slamem_tpu.dist.mesh import make_mesh
+
+        mesh = make_mesh(len(jax.devices()))
+    out = run_engine(ref_set, query_set, cfg, index=index, mesh=mesh)
     text = format_matches(out)
     out_path = cfg.out_path or default_out_path(query_paths, cfg)
     if out_path == "-":

@@ -109,33 +109,34 @@ def _rank_kernel(pos_smem, chars_vmem, pos_vmem, rows_hbm, out_ref,
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(nq), wait, jnp.int32(0))
 
-    nw = ROW_WORDS - CNT_WORDS
     for g in range(GSIZE):                       # static unroll
         chars = chars_vmem[g, :]                 # (TILE,) uint32
         within = jax.lax.rem(pos_vmem[g, :], jnp.int32(SYMS_PER_ROW))
+        block = blocks[g * TILE:(g + 1) * TILE, :]   # (TILE, ROW_WORDS)
+        lane_u = jax.lax.broadcasted_iota(jnp.uint32, (TILE, ROW_WORDS), 1)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (TILE, ROW_WORDS), 1)
+        # ALL ops run full 128-lane width: narrow lane slices (e.g. the
+        # first-4-words counter view) hang Mosaic's compile, and
+        # unsigned->signed vector converts recurse — so the counter pick is
+        # a full-width lane==char select over a full-width bitcast, and the
+        # symbol lanes are masked by lane index instead of sliced away.
+        full_i32 = jax.lax.bitcast_convert_type(block, jnp.int32)
+        base_sel = lane_u == chars[:, None]      # true only at lanes 0..3
+        zeros = jnp.zeros((TILE, ROW_WORDS), jnp.int32)
+        base = jnp.sum(jnp.where(base_sel, full_i32, zeros), axis=1,
+                       dtype=jnp.int32)
         # symbols arrive as little-endian uint32 words (4 per word): unpack
-        # with integer shifts and compare in uint32 throughout — Mosaic's
-        # unsigned<->signed vector converts recurse
-        words = blocks[g * TILE:(g + 1) * TILE, CNT_WORDS:]  # (TILE, 124)
+        # with integer shifts and compare in uint32 throughout
         hits = jnp.zeros((TILE,), jnp.int32)
+        ones = jnp.ones((TILE, ROW_WORDS), jnp.int32)
         for byte in range(4):
-            sub = (words >> (8 * byte)) & jnp.uint32(0xFF)
-            lane_b = (jax.lax.broadcasted_iota(jnp.int32, (TILE, nw), 1) * 4
-                      + byte)
-            hit = (sub == chars[:, None]) & (lane_b < within[:, None])
-            one = jnp.ones((TILE, nw), jnp.int32)
-            zero = jnp.zeros((TILE, nw), jnp.int32)
-            hits = hits + jnp.sum(jnp.where(hit, one, zero), axis=1,
+            sub = (block >> (8 * byte)) & jnp.uint32(0xFF)
+            sym_pos = (lane_i - jnp.int32(CNT_WORDS)) * 4 + byte
+            hit = ((sub == chars[:, None]) &
+                   (lane_i >= jnp.int32(CNT_WORDS)) &
+                   (sym_pos < within[:, None]))
+            hits = hits + jnp.sum(jnp.where(hit, ones, zeros), axis=1,
                                   dtype=jnp.int32)
-        onehot = (jax.lax.broadcasted_iota(jnp.uint32, (TILE, CNT_WORDS), 1)
-                  == chars[:, None])
-        # bitcast, not astype: Mosaic's unsigned->signed vector converts
-        # recurse at trace time; counts < 2^31 so the bits are the value
-        cnts = jax.lax.bitcast_convert_type(
-            blocks[g * TILE:(g + 1) * TILE, :CNT_WORDS], jnp.int32)
-        base = jnp.sum(jnp.where(onehot, cnts,
-                                 jnp.zeros((TILE, CNT_WORDS), jnp.int32)),
-                       axis=1, dtype=jnp.int32)
         out_ref[g, :] = base + hits
 
 

@@ -1,5 +1,7 @@
 """CLI, formatter, index save/load and dot-plot tests (golden-file gated)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -130,3 +132,30 @@ def test_cli_scan_engine_matches_seed(small_pair, tmp_path):
     assert main(["-l", "15", "-engine", "scan", "-o", str(o2), str(rp), str(qp)]) == 0
     assert o1.read_text() == o2.read_text()
     assert len(o1.read_text().splitlines()) > 1
+
+
+def test_cli_shard_flag(tmp_path):
+    """-shard runs the sharded-index path over the fake device mesh and
+    produces bytes identical to the replicated run."""
+    import subprocess
+    import sys
+
+    from slamem_tpu.io import Sequence, write_fasta
+    from slamem_tpu.utils.synth import mutate, random_genome
+
+    ref = random_genome(3000, seed=401)
+    qry = mutate(ref, 0.02, 0.002, seed=402)
+    rp, qp = str(tmp_path / "r.fa"), str(tmp_path / "q.fa")
+    write_fasta(rp, [Sequence("R", ref)])
+    write_fasta(qp, [Sequence("Q", qry)])
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    outs = []
+    for flags in ([], ["-shard"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "slamem_tpu.cli.main", "-l", "14",
+             "-o", "-", *flags, rp, qp],
+            capture_output=True, text=True, env=env)
+        assert r.returncode == 0, r.stderr[-1500:]
+        outs.append(r.stdout)
+    assert outs[0] == outs[1] and outs[0].count("\n") > 3
