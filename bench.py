@@ -135,6 +135,32 @@ def main() -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
+    if "--all" in argv:
+        # record every scenario (headline, chr21 config #4, rank kernel)
+        # into BENCH_DETAIL.json; stdout still gets ONE line (the headline)
+        detail = {"headline_5mbp_l20": run_bench(SIZE, MINLEN)}
+        detail["chr21_40mbp_l50"] = run_bench(40_000_000, 50, repeats=2)
+        try:
+            detail["rank_kernel"] = run_rank_bench()
+        except Exception as e:  # kernel path must not mask the headline
+            detail["rank_kernel"] = {"error": str(e)[:300]}
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1, default=str)
+        res = detail["headline_5mbp_l20"]
+        vs = None
+        if os.path.exists(BASELINE_FILE):
+            with open(BASELINE_FILE) as f:
+                base = json.load(f)["cpu_single_thread_mbp_per_s"]
+            vs = res["mbp_per_s"] / base if base > 0 else None
+        print(json.dumps({
+            "metric": "query_mbp_per_s_per_chip",
+            "value": round(res["mbp_per_s"], 3),
+            "unit": "Mbp/s",
+            "vs_baseline": round(vs, 3) if vs is not None else None,
+        }))
+        return 0
+
     if "--rank" in argv:  # Pallas occ kernel roofline (BASELINE north star)
         res = run_rank_bench()
         print(json.dumps({

@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from slamem_tpu.config import Config
 from slamem_tpu.engine import seed_mode
 from slamem_tpu.engine.seed_mode import (
-    RunBatch, SeedMatches, choose_seed_k, lex_searchsorted,
+    RunBatch, SeedMatches, _bucket_intervals, choose_seed_k,
     packed_key_words, seed_table)
 from slamem_tpu.index.build import FMIndex
 
@@ -48,12 +48,15 @@ _shard_tables_cache: dict[tuple, tuple] = {}
 
 def shard_tables(index: FMIndex, k: int, mesh: Mesh):
     """Pad + split (refk words, sign-augmented SA) into per-device SA-rank
-    slabs. Cached per (index, k, mesh): re-sharding the tables on every call
-    was a round-1 regression (VERDICT weak #3)."""
+    slabs, plus per-slab bucket tables for the frontend search.
+
+    Returns (refk_sh, sa_sh, starts_sh, shift, probes). Cached per
+    (index, k, mesh): re-sharding the tables on every call was a round-1
+    regression (VERDICT weak #3)."""
     key = (id(index.sa), k, id(mesh))
     hit = _shard_tables_cache.get(key)
     if hit is not None and hit[0] is index.sa:
-        return hit[1], hit[2]
+        return hit[1]
     ndev = len(mesh.devices.flat)
     refk_words, sa_aug = seed_table(index, k)
     n = index.n
@@ -70,30 +73,55 @@ def shard_tables(index: FMIndex, k: int, mesh: Mesh):
     sa_p = jnp.concatenate(
         [sa_aug, jnp.full((pad,), np.int32(-0x80000000), jnp.int32)])
     sa_sh = jax.device_put(sa_p.reshape(ndev, slab), sh)
+    # per-slab prefix-bucket tables: the slab frontend brackets each query
+    # K-mer to its bucket and binary-searches only within it — ~log2(max
+    # bucket) probes instead of log2(slab) (the chr1-scale frontend cost)
+    word0_bits = 2 * min(k, 16)
+    bbits = min(word0_bits, 20)
+    shift = word0_bits - bbits
+    starts_sh, maxb = _slab_bucket_tables(mesh, refk_sh[0], bbits, shift)
+    probes = max(1, int(np.ceil(np.log2(max(int(np.asarray(maxb)), 2)))) + 1)
     if len(_shard_tables_cache) > 8:
         _shard_tables_cache.clear()
-    _shard_tables_cache[key] = (index.sa, refk_sh, sa_sh)
-    return refk_sh, sa_sh
+    tables = (refk_sh, sa_sh, starts_sh, shift, probes)
+    _shard_tables_cache[key] = (index.sa, tables)
+    return tables
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "k"))
-def sharded_frontend(mesh: Mesh, refk_sh, qt: jax.Array, k: int):
+@functools.partial(jax.jit, static_argnames=("mesh", "bbits", "shift"))
+def _slab_bucket_tables(mesh: Mesh, refk0_sh: jax.Array, bbits: int,
+                        shift: int):
+    """Per-slab prefix-bucket starts + the pmax'd max bucket width."""
+    from slamem_tpu.engine.seed_mode import _build_bucket_table
+
+    def step(refk0_l):
+        starts, maxb = _build_bucket_table(refk0_l[0], bbits, shift)
+        return starts[None], jax.lax.pmax(maxb, "q")
+
+    fn = shard_map(step, mesh=mesh, in_specs=(P("q", None),),
+                   out_specs=(P("q", None), P()), check_vma=False)
+    return fn(refk0_sh)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "k", "shift", "probes"))
+def sharded_frontend(mesh: Mesh, refk_sh, starts_sh, qt: jax.Array, k: int,
+                     shift: int, probes: int):
     """Per-shard local intervals for every query position.
 
     Returns (lo_local [ndev, m] int32, width_local [ndev, m] int32,
     cum [m] int64, summary [2] int64): a K-mer's global interval is the
-    disjoint union of the local ones. cum/summary are the device-resident
-    cumsum of the per-position pmax width and its (total, max) — planning
-    fetches O(rounds) scalars, never the O(m) width array (round-1
-    regression, VERDICT weak #3).
+    disjoint union of the local ones. Each slab is bracketed by its own
+    bucket table (probes ~ log2 max bucket, not log2 slab). cum/summary are
+    the device-resident cumsum of the per-position pmax width and its
+    (total, max) — planning fetches O(rounds) scalars, never the O(m)
+    width array (round-1 regression, VERDICT weak #3).
     """
 
-    def step(refk_l, qt):
+    def step(refk_l, starts_l, qt):
         refk_w = tuple(w[0] for w in refk_l)
         qk_w, qvalid = packed_key_words(qt, k)
-        lo = lex_searchsorted(refk_w, qk_w, side="left")
-        hi = lex_searchsorted(refk_w, qk_w, side="right")
-        w = jnp.where(qvalid, hi - lo, 0).astype(jnp.int32)
+        lo, w = _bucket_intervals(refk_w, starts_l[0], qk_w, qvalid,
+                                  shift, probes)
         wmax = jax.lax.pmax(w, "q")
         cum = jnp.cumsum(wmax.astype(jnp.int64))
         summary = jnp.stack([cum[-1], jnp.max(wmax).astype(jnp.int64)])
@@ -102,10 +130,11 @@ def sharded_frontend(mesh: Mesh, refk_sh, qt: jax.Array, k: int):
     # check_vma off: cum/summary ARE replicated (pure functions of the
     # pmax'd width), but this jax's varying-axes inference cannot see
     # through the cumsum that follows the pmax
-    fn = shard_map(step, mesh=mesh, in_specs=(P("q", None), P()),
+    fn = shard_map(step, mesh=mesh,
+                   in_specs=(P("q", None), P("q", None), P()),
                    out_specs=(P("q", None), P("q", None), P(), P()),
                    check_vma=False)
-    return fn(refk_sh, qt)
+    return fn(refk_sh, starts_sh, qt)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "capacity", "block"))
@@ -187,8 +216,9 @@ def find_seed_matches_sharded(index: FMIndex, query_text: np.ndarray,
     m = int(qp.shape[0])
     k = choose_seed_k(index.n, m, cfg.min_length, cfg.seed_length_cap)
     qt = jnp.asarray(qp)
-    refk_sh, sa_sh = shard_tables(index, k, mesh)
-    lo_l, w_l, cum, summary = sharded_frontend(mesh, refk_sh, qt, k)
+    refk_sh, sa_sh, starts_sh, shift, probes = shard_tables(index, k, mesh)
+    lo_l, w_l, cum, summary = sharded_frontend(mesh, refk_sh, starts_sh,
+                                               qt, k, shift, probes)
 
     # plan rounds with the per-shard worst case so every shard fits capacity
     capacity = int(cfg.pair_capacity)

@@ -316,3 +316,31 @@ def test_choose_seed_k_policy():
     # explicit small cap is honored
     assert choose_seed_k(250_000_000, 200_000_000, 50, 12) == 12
     assert choose_seed_k(1000, 1000, 10, 32) == 10
+
+
+def test_seed_matches_carry_roofline_stats():
+    """Every seed query reports pairs/rounds/K and a bytes lower bound."""
+    ref = random_genome(3000, seed=320)
+    qry = mutate(ref, 0.02, 0.002, seed=321)
+    idx = build_index(ref)
+    m = find_seed_matches(idx, qry, Config(min_length=12))
+    assert m.stats is not None
+    assert m.stats["pairs"] > 0
+    assert m.stats["rounds"] >= 1
+    assert m.stats["k"] == 12
+    assert m.stats["bytes_min"] > 0
+    # multi-round path carries stats too
+    m2 = find_seed_matches(idx, qry, Config(min_length=12,
+                                            pair_capacity=256))
+    assert m2.stats is not None and m2.stats["rounds"] >= 1
+
+
+def test_phase_log_roofline_fields():
+    from slamem_tpu.utils.log import PhaseLog
+
+    log = PhaseLog(enabled=False)
+    with log.phase("query", bp=1_000_000) as rec:
+        rec.update(bytes=819_000_000)  # exactly 1 GB/s-second at 819 GB/s
+    r = log.records[-1]
+    assert r["phase"] == "query"
+    assert "gb_per_s" in r and "hbm_fraction" in r and "mbp_per_s" in r
