@@ -53,3 +53,21 @@ def test_sharded_unique_modes_parity():
         want = apply_mode_filter(find_seed_matches(idx, qry, cfg), cfg)
         assert tuples(got) == tuples(want)
         assert len(tuples(want)) > 0
+
+
+def test_sharded_two_word_seeds_parity(monkeypatch):
+    """Sharded slab search with dual-word K<=32 keys == replicated path."""
+    from slamem_tpu.engine import seed_mode
+    from slamem_tpu.dist import sharded as sharded_mod
+
+    force = lambda n, m, L, cap: min(L, cap)
+    monkeypatch.setattr(seed_mode, "choose_seed_k", force)
+    monkeypatch.setattr(sharded_mod, "choose_seed_k", force)
+    ref = with_n_runs(random_genome(5000, seed=90), 2, 40, seed=91)
+    qry = with_n_runs(mutate(ref, 0.015, 0.0015, seed=92), 2, 25, seed=93)
+    cfg = Config(min_length=24, pair_capacity=512)
+    idx = build_index(ref)
+    mesh = make_mesh(8)
+    got = tuples(find_seed_matches_sharded(idx, qry, cfg, mesh))
+    want = tuples(find_seed_matches(idx, qry, cfg))
+    assert got == want and len(want) > 0
