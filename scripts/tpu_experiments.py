@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""One-at-a-time TPU experiment battery (run under `timeout`, single process).
+
+Each subcommand is one tunnel-friendly experiment; results print as JSON
+lines. Usage: python scripts/tpu_experiments.py <name>
+
+  headline      5 Mbp -l 20 seed-engine regression check
+  rank          compiled rank kernel equivalence + GB/s
+  chr21ab       chr21-scale A/B: K=16 vs K=32 seed depth
+  scan          scan engine compiled on TPU (small, then 1 Mbp)
+  chr1          chr1-scale sharded rehearsal (250 Mbp ref, 50 Mbp query)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _bench_query(index, qry, cfg, repeats=2):
+    from slamem_tpu.engine.seed_mode import find_seed_matches
+
+    m = find_seed_matches(index, qry, cfg)  # warmup/compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        m = find_seed_matches(index, qry, cfg)
+        times.append(time.perf_counter() - t0)
+    return min(times), m
+
+
+def headline():
+    import jax
+
+    from slamem_tpu.config import Config
+    from slamem_tpu.index.build import build_index
+    from slamem_tpu.utils.synth import strain_pair
+
+    ref, qry = strain_pair(5_000_000, seed=20260816, sub_rate=0.015,
+                           indel_rate=0.0015)
+    t0 = time.perf_counter()
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    t_build = time.perf_counter() - t0
+    dt, m = _bench_query(index, qry, Config(min_length=20), repeats=3)
+    print(json.dumps({"exp": "headline", "mbp_per_s": len(qry) / 1e6 / dt,
+                      "query_s": dt, "build_s": t_build,
+                      "matches": int(m.length.size), "stats": m.stats}))
+
+
+def rank():
+    import jax.numpy as jnp
+
+    from slamem_tpu.index.build import build_index, rank_batch
+    from slamem_tpu.kernels.rank import rank_pallas
+    from slamem_tpu.utils.synth import random_genome, with_n_runs
+
+    rng = np.random.default_rng(150)
+    t = with_n_runs(random_genome(5_000_000, seed=151), 3, 40, seed=152)
+    idx = build_index(t)
+    b = 1 << 20
+    chars = jnp.asarray(rng.integers(0, 4, size=b).astype(np.int32))
+    pos = jnp.asarray(rng.integers(0, idx.n + 1, size=b).astype(np.int32))
+    t0 = time.perf_counter()
+    got = np.asarray(rank_pallas(idx, chars, pos))
+    first = time.perf_counter() - t0
+    want = np.asarray(rank_batch(idx, chars[:65536], pos[:65536]))
+    equal = bool(np.array_equal(got[:65536], want))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(rank_pallas(idx, chars, pos))
+        best = min(best, time.perf_counter() - t0)
+    gbps = b * 512 / best / 1e9
+    print(json.dumps({"exp": "rank", "equal": equal, "first_s": first,
+                      "best_s": best, "gb_per_s": gbps,
+                      "hbm_fraction": gbps / 819.0}))
+
+
+def chr21ab():
+    import jax
+
+    from slamem_tpu.config import Config
+    from slamem_tpu.engine import seed_mode
+    from slamem_tpu.index.build import build_index
+    from slamem_tpu.utils.synth import strain_pair
+
+    ref, qry = strain_pair(40_000_000, seed=20260816, sub_rate=0.015,
+                           indel_rate=0.0015)
+    t0 = time.perf_counter()
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    print(json.dumps({"exp": "chr21ab", "build_s": time.perf_counter() - t0}))
+    orig = seed_mode.choose_seed_k
+    for forced_k in (16, 32):
+        seed_mode.choose_seed_k = lambda n, m, L, cap, _k=forced_k: _k
+        try:
+            dt, m = _bench_query(index, qry, Config(min_length=50))
+        finally:
+            seed_mode.choose_seed_k = orig
+        print(json.dumps({"exp": "chr21ab", "k": forced_k,
+                          "mbp_per_s": len(qry) / 1e6 / dt, "query_s": dt,
+                          "matches": int(m.length.size), "stats": m.stats}))
+
+
+def scan():
+    from slamem_tpu.config import Config
+    from slamem_tpu.engine.run import run_engine
+    from slamem_tpu.engine.scan_mode import find_scan_matches
+    from slamem_tpu.index.build import build_index
+    from slamem_tpu.utils.synth import mutate, random_genome
+
+    for size, rk in ((20_000, "xla"), (20_000, "pallas"),
+                     (1_000_000, "pallas")):
+        ref = random_genome(size, seed=61)
+        qry = mutate(ref, 0.02, 0.002, seed=62)
+        index = build_index(ref)
+        cfg = Config(min_length=20, engine="scan", rank_kernel=rk)
+        t0 = time.perf_counter()
+        m = find_scan_matches(index, qry, cfg)
+        first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        m = find_scan_matches(index, qry, cfg)
+        dt = time.perf_counter() - t0
+        print(json.dumps({"exp": "scan", "size": size, "rank_kernel": rk,
+                          "first_s": first, "query_s": dt,
+                          "mbp_per_s": len(qry) / 1e6 / dt,
+                          "matches": int(m.length.size)}))
+        sys.stdout.flush()
+
+
+def chr1():
+    import jax
+
+    from slamem_tpu.config import Config
+    from slamem_tpu.dist.mesh import make_mesh
+    from slamem_tpu.dist.sharded import find_seed_matches_sharded
+    from slamem_tpu.index.build import build_index
+    from slamem_tpu.utils.synth import strain_pair
+
+    ref, qry = strain_pair(250_000_000, seed=20260816, sub_rate=0.03,
+                           indel_rate=0.003)
+    qry = qry[:50_000_000]
+    t0 = time.perf_counter()
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    build_s = time.perf_counter() - t0
+    print(json.dumps({"exp": "chr1", "build_s": build_s}))
+    sys.stdout.flush()
+    mesh = make_mesh(len(jax.devices()))
+    cfg = Config(min_length=50)
+    t0 = time.perf_counter()
+    m = find_seed_matches_sharded(index, qry, cfg, mesh)
+    first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    m = find_seed_matches_sharded(index, qry, cfg, mesh)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"exp": "chr1", "first_s": first, "query_s": dt,
+                      "mbp_per_s": len(qry) / 1e6 / dt,
+                      "matches": int(m.length.size)}))
+
+
+if __name__ == "__main__":
+    globals()[sys.argv[1]]()

@@ -60,3 +60,33 @@ def test_native_revcomp():
     native._lib.revcomp_codes(
         arr.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), len(arr))
     assert np.array_equal(arr, want)
+
+
+def test_matchfmt_native_equals_python():
+    """Native and Python renderers must be byte-identical (fuzzed)."""
+    import numpy as np
+
+    from slamem_tpu.engine.run import EngineOutput, QueryMatches
+    from slamem_tpu.report.format import format_matches
+
+    rng = np.random.default_rng(500)
+    for trial in range(12):
+        n_ref = int(rng.integers(1, 4))
+        ref_names = [f"ref{'X' * int(rng.integers(0, 9))}{i}"
+                     for i in range(n_ref)]
+        per_query = []
+        for qi in range(int(rng.integers(1, 4))):
+            n = int(rng.integers(0, 50))
+            hi = int(rng.integers(10, 10**int(rng.integers(2, 10))) + 2)
+            per_query.append(QueryMatches(
+                query_name=f"q{qi}", reverse=bool(rng.integers(0, 2)),
+                ref_seq=rng.integers(0, n_ref, n).astype(np.int64),
+                ref_pos=rng.integers(0, hi, n).astype(np.int64),
+                q_pos=rng.integers(0, hi, n).astype(np.int64),
+                length=rng.integers(1, hi, n).astype(np.int64)))
+        out = EngineOutput(ref_names=ref_names, per_query=per_query,
+                           stats={})
+        a = format_matches(out, force="python")
+        b = format_matches(out, force="native")
+        assert a == b, f"trial {trial}: first diff at " \
+            f"{next(i for i,(x,y) in enumerate(zip(a,b)) if x!=y)}"
