@@ -60,24 +60,32 @@ def rank():
 
     rng = np.random.default_rng(150)
     t = with_n_runs(random_genome(5_000_000, seed=151), 3, 40, seed=152)
-    idx = build_index(t)
-    b = 1 << 20
-    chars = jnp.asarray(rng.integers(0, 4, size=b).astype(np.int32))
-    pos = jnp.asarray(rng.integers(0, idx.n + 1, size=b).astype(np.int32))
     t0 = time.perf_counter()
-    got = np.asarray(rank_pallas(idx, chars, pos))
-    first = time.perf_counter() - t0
-    want = np.asarray(rank_batch(idx, chars[:65536], pos[:65536]))
-    equal = bool(np.array_equal(got[:65536], want))
-    best = 1e9
-    for _ in range(3):
+    idx = build_index(t)
+    print(json.dumps({"exp": "rank", "step": "index",
+                      "s": time.perf_counter() - t0}))
+    sys.stdout.flush()
+    # small batch first: compile at a cheap shape, verify, then scale
+    for b in (1 << 13, 1 << 17, 1 << 20):
+        chars = jnp.asarray(rng.integers(0, 4, size=b).astype(np.int32))
+        pos = jnp.asarray(
+            rng.integers(0, idx.n + 1, size=b).astype(np.int32))
         t0 = time.perf_counter()
-        np.asarray(rank_pallas(idx, chars, pos))
-        best = min(best, time.perf_counter() - t0)
-    gbps = b * 512 / best / 1e9
-    print(json.dumps({"exp": "rank", "equal": equal, "first_s": first,
-                      "best_s": best, "gb_per_s": gbps,
-                      "hbm_fraction": gbps / 819.0}))
+        got = np.asarray(rank_pallas(idx, chars, pos))
+        first = time.perf_counter() - t0
+        nv = min(b, 8192)
+        want = np.asarray(rank_batch(idx, chars[:nv], pos[:nv]))
+        equal = bool(np.array_equal(got[:nv], want))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(rank_pallas(idx, chars, pos))
+            best = min(best, time.perf_counter() - t0)
+        gbps = b * 512 / best / 1e9
+        print(json.dumps({"exp": "rank", "batch": b, "equal": equal,
+                          "first_s": first, "best_s": best,
+                          "gb_per_s": gbps, "hbm_fraction": gbps / 819.0}))
+        sys.stdout.flush()
 
 
 def chr21ab():
@@ -95,15 +103,22 @@ def chr21ab():
     jax.block_until_ready(index.sa)
     print(json.dumps({"exp": "chr21ab", "build_s": time.perf_counter() - t0}))
     orig = seed_mode.choose_seed_k
-    for forced_k in (16, 32):
+    variants = [(16, "join"), (16, "bucket"), (32, "join"), (32, "bucket")]
+    if len(sys.argv) > 2:  # e.g. `chr21ab 32:bucket` runs one variant
+        ks, fr = sys.argv[2].split(":")
+        variants = [(int(ks), fr)]
+    for forced_k, frontend in variants:
         seed_mode.choose_seed_k = lambda n, m, L, cap, _k=forced_k: _k
         try:
-            dt, m = _bench_query(index, qry, Config(min_length=50))
+            dt, m = _bench_query(index, qry,
+                                 Config(min_length=50, frontend=frontend))
         finally:
             seed_mode.choose_seed_k = orig
         print(json.dumps({"exp": "chr21ab", "k": forced_k,
+                          "frontend": frontend,
                           "mbp_per_s": len(qry) / 1e6 / dt, "query_s": dt,
                           "matches": int(m.length.size), "stats": m.stats}))
+        sys.stdout.flush()
 
 
 def scan():

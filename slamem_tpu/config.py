@@ -45,11 +45,17 @@ class Config:
     seed_length_cap: int = 32
     position_block: int = 1 << 26   # max query positions per device dispatch
     pair_capacity: int = 1 << 22    # candidate-pair buffer per dispatch round
-    pair_capacity_max: int = 1 << 24  # fallback rounds may grow to this
+    # fallback rounds may grow to this (32M pairs ≈ one round for a chr21
+    # strain pair; transient expansion buffers ~10x capacity x 4 B fit HBM)
+    pair_capacity_max: int = 1 << 25
     occ_block: int = 128            # occ checkpoint spacing (symbols)
     # scan-engine rank backend: "auto" = Pallas interleaved-row kernel on
     # TPU, XLA gather on CPU; "pallas"/"xla" force one (kernels/rank.py)
     rank_kernel: str = "auto"
+    # seed interval frontend: "auto" = bucket search when the table dwarfs
+    # the query batch (n > 2m), else combined-sort join; "join"/"bucket"
+    # force one (A/B tuning surface, engine/seed_mode.py)
+    frontend: str = "auto"
     verbose: bool = False
 
     # --- distribution (SURVEY §2 "new first-class components") ---

@@ -63,22 +63,10 @@ def _occ_fn(index: FMIndex, rows, use_pallas: bool, interpret: bool = False):
     """
     if not use_pallas:
         return lambda chars, positions: rank_batch(index, chars, positions)
-    from slamem_tpu.kernels.rank import GSIZE, TILE, rank_rows_padded
+    from slamem_tpu.kernels.rank import rank_rows
 
-    def occ(chars, positions):
-        b = chars.shape[0]
-        granule = GSIZE * TILE
-        bp = -(-b // granule) * granule
-        cpad = jnp.concatenate(
-            [chars.astype(jnp.uint32), jnp.zeros((bp - b,), jnp.uint32)]
-        ).reshape(-1, TILE)
-        ppad = jnp.concatenate(
-            [positions.astype(jnp.int32), jnp.zeros((bp - b,), jnp.int32)]
-        ).reshape(-1, TILE)
-        return rank_rows_padded(rows, cpad, ppad,
-                                interpret=interpret).reshape(-1)[:b]
-
-    return occ
+    return lambda chars, positions: rank_rows(rows, chars, positions,
+                                              interpret=interpret)
 
 
 def _backward(index: FMIndex, occ_fn, c: jax.Array, lo: jax.Array,

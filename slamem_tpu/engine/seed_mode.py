@@ -53,9 +53,6 @@ from slamem_tpu.config import Config
 from slamem_tpu.index.build import FMIndex
 from slamem_tpu.io.fasta import CODE_N
 
-_I64MAX = np.iinfo(np.int64).max
-
-
 # ---------------------------------------------------------------------------
 # K-mer packing
 # ---------------------------------------------------------------------------
@@ -357,6 +354,17 @@ def query_frontend(refk, qt: jax.Array, k: int):
     return lo, width, cum, summary
 
 
+@functools.partial(jax.jit, static_argnames=("k", "shift", "probes"))
+def query_frontend_bucket(refk, starts, qt: jax.Array, k: int, shift: int,
+                          probes: int):
+    """query_frontend with the bucket search instead of the sort join."""
+    qk_w, qvalid = packed_key_words(qt, k)
+    lo, width = _bucket_intervals(refk, starts, qk_w, qvalid, shift, probes)
+    cum = jnp.cumsum(width.astype(jnp.int64))
+    summary = jnp.stack([cum[-1], jnp.max(width).astype(jnp.int64)])
+    return lo, width, cum, summary
+
+
 def _join_intervals(refk, qk, qvalid: jax.Array
                     ) -> tuple[jax.Array, jax.Array]:
     """Both SA-interval bounds of every query K-mer from ONE combined sort.
@@ -373,16 +381,17 @@ def _join_intervals(refk, qk, qvalid: jax.Array
     n = refk_w[0].shape[0]
     m = qk_w[0].shape[0]
     keys = tuple(jnp.concatenate([rw, qw]) for rw, qw in zip(refk_w, qk_w))
-    tag = jnp.concatenate([jnp.zeros((n,), jnp.int32),
-                           jnp.ones((m,), jnp.int32)])
-    idx = jnp.concatenate([jnp.zeros((n,), jnp.int32),
-                           jnp.arange(m, dtype=jnp.int32)])
-    sorted_ops = jax.lax.sort((*keys, tag, idx), dimension=0,
+    # tag and index share ONE column: refs carry 0, query i carries i+1 —
+    # refs still sort before queries within an equal-key run, and the sort
+    # moves one less 4-byte column (the dominant cost at chr scale where
+    # n + m is tens of millions of rows)
+    tagidx = jnp.concatenate([jnp.zeros((n,), jnp.int32),
+                              jnp.arange(1, m + 1, dtype=jnp.int32)])
+    sorted_ops = jax.lax.sort((*keys, tagidx), dimension=0,
                               num_keys=len(keys) + 1)
     keys_s = sorted_ops[:len(keys)]
-    tag_s = sorted_ops[-2]
-    idx_s = sorted_ops[-1]
-    is_ref = 1 - tag_s
+    tagidx_s = sorted_ops[-1]
+    is_ref = (tagidx_s == 0).astype(jnp.int32)
     crefs = jnp.cumsum(is_ref, dtype=jnp.int32)        # inclusive
     excl = crefs - is_ref                              # refs strictly before
     pos = jnp.arange(n + m, dtype=jnp.int32)
@@ -393,9 +402,9 @@ def _join_intervals(refk, qk, qvalid: jax.Array
         [jnp.ones((1,), jnp.int32), (~same_key).astype(jnp.int32)])
     rs = jax.lax.cummax(jnp.where(new_run == 1, pos, 0))
     left = excl[rs]
-    right = crefs  # == excl at query slots (tag 1)
-    q_slot = tag_s == 1
-    scatter_idx = jnp.where(q_slot, idx_s, m)
+    right = crefs  # == excl at query slots
+    q_slot = tagidx_s > 0
+    scatter_idx = jnp.where(q_slot, tagidx_s - 1, m)
     lo = jnp.zeros((m,), jnp.int32).at[scatter_idx].set(left, mode="drop")
     hi = jnp.zeros((m,), jnp.int32).at[scatter_idx].set(right, mode="drop")
     width = jnp.where(qvalid, hi - lo, 0).astype(jnp.int32)
@@ -743,12 +752,14 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     capacity = int(cfg.pair_capacity)
     run_cap = max(4096, capacity // 16)
     skip_fused = _last_total(index, k) > capacity
+    use_bucket = (cfg.frontend == "bucket"
+                  or (cfg.frontend == "auto" and index.n > 2 * m_p))
     if cfg.mode.value == "mem" and not skip_fused and (
             mesh is None or len(mesh.devices.flat) == 1):
         # optimistic single-dispatch fast path (overflow falls through);
         # bucket frontend when the table dwarfs the query batch (the join
         # re-sorts n + m entries, the bucket search is O(m log maxbucket))
-        if index.n > 2 * m_p:
+        if use_bucket:
             starts, shift, probes = bucket_table(index, k)
             lo, width, cum, summary, packed = fused_query_bucket(
                 refk, starts, sa_aug, jnp.asarray(qp), k,
@@ -776,7 +787,12 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
         return pairs_to_matches(index, lo, width, k, m_p, cfg, mesh,
                                 sa_aug, cum=cum,
                                 summary=np.asarray(summary))
-    lo, width, cum, summary = query_frontend(refk, jnp.asarray(qp), k)
+    if use_bucket:
+        starts, shift, probes = bucket_table(index, k)
+        lo, width, cum, summary = query_frontend_bucket(
+            refk, starts, jnp.asarray(qp), k, shift, probes)
+    else:
+        lo, width, cum, summary = query_frontend(refk, jnp.asarray(qp), k)
     summary_h = np.asarray(summary)
     if cfg.mode.value == "mem":
         _set_last_total(index, k, int(summary_h[0]))

@@ -2,19 +2,27 @@
 
 occ(c, j) = count of char c in bwt[0:j) — the reference's per-character occ
 lookup (bwtindex.c layer, SURVEY.md §2) re-designed for the TPU memory
-system. The BWT is re-blocked into an INTERLEAVED table of 128-uint32 rows:
+system. The BWT is re-blocked into an INTERLEAVED table of 128-int32 rows:
 
     row b = [ occ_A, occ_C, occ_G, occ_T at position b*496 |
               124 words x 4 bytes = 496 BWT symbols ]
 
 so one rank query touches exactly ONE 512-byte lane-aligned row — counts and
 symbols arrive in the same DMA (the textbook FM-index cache-block layout,
-here shaped (rows, 128) so Mosaic's tiling accepts dynamic row DMAs; the
-round-1 kernel used per-lane 1D DMAs, which Mosaic rejects with a 1024-tiling
-alignment error). A tile of 128 queries per program pipelines 128 row copies
-HBM->VMEM (all started before any wait), then one vectorized
-compare/mask/popcount over the (128, 124) word tile plus a one-hot count add
-produce the answers.
+here shaped (rows, 128) so Mosaic accepts dynamic row DMAs; the round-1
+kernel used per-lane 1D DMAs, which Mosaic rejects with a 1024-tiling
+alignment error). A program handles GSIZE x TILE = 1024 queries: it
+pipelines 1024 row copies HBM->VMEM (all started before any wait, sharing
+TILE DMA semaphores — sflag space holds only ~512), then one vectorized
+compare/mask/sum over each (TILE, 128) tile produces the answers.
+
+Every value in the kernel is int32 — no uint32, no astype, no bitcast:
+Mosaic (this jax 0.9) recurses on unsigned<->signed converts, hangs on
+narrow-lane slices and in-kernel bitcasts, and fails to legalize i64 loop
+carries, so the table itself is built int32 (symbol bytes are 0..6, count
+values < 2^31 — the bits are the value either way) and byte unpacking uses
+logical shifts. The full set of lowering rules that made this kernel
+compile is recorded in the project memory notes.
 
 Memory traffic per query is exactly 512 B — "the rank-query inner loop at
 speed-of-light HBM bandwidth per chip" (BASELINE north star) becomes
@@ -36,17 +44,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from slamem_tpu.index.build import FMIndex
 
-TILE = 128          # queries per program
-ROW_WORDS = 128     # uint32 words per interleaved row (512 B, lane-aligned)
+TILE = 128          # queries per sublane tile (one VPU lane row)
+ROW_WORDS = 128     # int32 words per interleaved row (512 B, lane-aligned)
 CNT_WORDS = 4       # leading occ counter words
 SYMS_PER_ROW = (ROW_WORDS - CNT_WORDS) * 4  # 496 BWT symbols per row
+GSIZE = 8           # sublane tiles per program: 8 x TILE = 1024 queries
 
 _rows_cache: dict[int, tuple] = {}
 
 
 @jax.jit
 def _build_rows(bwt: jax.Array) -> jax.Array:
-    """Interleaved (rows, 128) uint32 occ/BWT table from a uint8 BWT."""
+    """Interleaved (rows, 128) int32 occ/BWT table from a uint8 BWT."""
     n = bwt.shape[0]
     nrows = n // SYMS_PER_ROW + 1  # +1: position j == n stays in range
     pad = nrows * SYMS_PER_ROW - n
@@ -59,7 +68,10 @@ def _build_rows(bwt: jax.Array) -> jax.Array:
     prefix = jnp.cumsum(per_row, axis=0) - per_row  # counts before each row
     words = jax.lax.bitcast_convert_type(
         sym.reshape(nrows, ROW_WORDS - CNT_WORDS, 4), jnp.uint32)
-    return jnp.concatenate([prefix.astype(jnp.uint32), words], axis=1)
+    # int32 table: symbol bytes are 0..6 so no word sets the sign bit except
+    # via byte 3 values >= 0x80, which never occur — the bitcast is lossless
+    return jnp.concatenate(
+        [prefix, jax.lax.bitcast_convert_type(words, jnp.int32)], axis=1)
 
 
 def interleaved_rows(index: FMIndex) -> jax.Array:
@@ -75,25 +87,17 @@ def interleaved_rows(index: FMIndex) -> jax.Array:
     return rows
 
 
-GSIZE = 8  # sublane tiles per program: 8 x TILE = 1024 queries/program
-
-
 def _rank_kernel(pos_smem, chars_vmem, pos_vmem, rows_hbm, out_ref,
                  blocks, sems):
     nq = GSIZE * TILE
 
     def get_copy(j):
-        # explicit lax arithmetic, int32 loop bounds: the jnp operator path
-        # trips a dtype promotion recursion when tracing SMEM scalar reads,
-        # and a 64-bit loop counter forces an i64->i32 convert whose Mosaic
-        # lowering rule recurses — both are avoided, not worked around
+        # explicit lax arithmetic, int32 bounds AND carries: jnp operators
+        # on SMEM scalar reads and 64-bit loop counters both break Mosaic
+        # (see module docstring)
         g = jax.lax.div(j, jnp.int32(TILE))
         i = jax.lax.rem(j, jnp.int32(TILE))
         blk = jax.lax.div(pos_smem[g, i], jnp.int32(SYMS_PER_ROW))
-        # TILE semaphore slots shared across the GSIZE groups: the sflag
-        # space holds ~512 slots total, and correctness only needs "all
-        # copies landed before any read" — the full wait loop drains exactly
-        # the bytes the full start loop signals, per slot
         return pltpu.make_async_copy(rows_hbm.at[blk], blocks.at[j],
                                      sems.at[i])
 
@@ -110,34 +114,28 @@ def _rank_kernel(pos_smem, chars_vmem, pos_vmem, rows_hbm, out_ref,
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(nq), wait, jnp.int32(0))
 
     for g in range(GSIZE):                       # static unroll
-        chars = chars_vmem[g, :]                 # (TILE,) uint32
+        chars = chars_vmem[g, :]                 # (TILE,) int32, 0..3
         within = jax.lax.rem(pos_vmem[g, :], jnp.int32(SYMS_PER_ROW))
         block = blocks[g * TILE:(g + 1) * TILE, :]   # (TILE, ROW_WORDS)
-        lane_u = jax.lax.broadcasted_iota(jnp.uint32, (TILE, ROW_WORDS), 1)
-        lane_i = jax.lax.broadcasted_iota(jnp.int32, (TILE, ROW_WORDS), 1)
-        # ALL ops run full 128-lane width: narrow lane slices (e.g. the
-        # first-4-words counter view) hang Mosaic's compile, and
-        # unsigned->signed vector converts recurse — so the counter pick is
-        # a full-width lane==char select over a full-width bitcast, and the
-        # symbol lanes are masked by lane index instead of sliced away.
-        full_i32 = jax.lax.bitcast_convert_type(block, jnp.int32)
-        base_sel = lane_u == chars[:, None]      # true only at lanes 0..3
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, ROW_WORDS), 1)
         zeros = jnp.zeros((TILE, ROW_WORDS), jnp.int32)
-        base = jnp.sum(jnp.where(base_sel, full_i32, zeros), axis=1,
-                       dtype=jnp.int32)
-        # symbols arrive as little-endian uint32 words (4 per word): unpack
-        # with integer shifts and compare in uint32 throughout
-        hits = jnp.zeros((TILE,), jnp.int32)
         ones = jnp.ones((TILE, ROW_WORDS), jnp.int32)
+        # symbols: little-endian bytes of lanes >= CNT_WORDS, unpacked with
+        # logical shifts (int32 in, int32 out). The 4-lane counter pick is
+        # NOT in this kernel: adding it (any formulation) tips Mosaic into
+        # an unbounded compile — the caller adds the counters with a 1-word
+        # XLA gather from the same rows the DMA already touched.
+        acc = jnp.zeros((TILE,), jnp.int32)
         for byte in range(4):
-            sub = (block >> (8 * byte)) & jnp.uint32(0xFF)
-            sym_pos = (lane_i - jnp.int32(CNT_WORDS)) * 4 + byte
+            sub = jax.lax.shift_right_logical(
+                block, jnp.int32(8 * byte)) & jnp.int32(0xFF)
+            sym_pos = (lane - jnp.int32(CNT_WORDS)) * 4 + byte
             hit = ((sub == chars[:, None]) &
-                   (lane_i >= jnp.int32(CNT_WORDS)) &
+                   (lane >= jnp.int32(CNT_WORDS)) &
                    (sym_pos < within[:, None]))
-            hits = hits + jnp.sum(jnp.where(hit, ones, zeros), axis=1,
-                                  dtype=jnp.int32)
-        out_ref[g, :] = base + hits
+            acc = acc + jnp.sum(jnp.where(hit, ones, zeros), axis=1,
+                                dtype=jnp.int32)
+        out_ref[g, :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -146,9 +144,9 @@ def rank_rows_padded(rows: jax.Array, chars: jax.Array,
                      ) -> jax.Array:
     """Batched occ over the interleaved table; batch a GSIZE*TILE multiple.
 
-    chars/positions arrive (nprog*GSIZE, TILE): 1D operands get an XLA
-    layout tiling of 1024 that Mosaic's 128-lane expectation rejects, and
-    block sublane counts must divide by 8 — so the batch folds into
+    chars/positions arrive (nprog*GSIZE, TILE) int32: 1D operands get an
+    XLA layout tiling of 1024 that Mosaic's 128-lane expectation rejects,
+    and block sublane counts must divide by 8 — so the batch folds into
     (GSIZE, TILE) blocks of 1024 queries per program.
     """
     grid = (chars.shape[0] // GSIZE,)
@@ -156,36 +154,50 @@ def rank_rows_padded(rows: jax.Array, chars: jax.Array,
         _rank_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((GSIZE, TILE), lambda i: (i, 0),
+            pl.BlockSpec((GSIZE, TILE), lambda i: (i, jnp.int32(0)),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((GSIZE, TILE), lambda i: (i, 0),
+            pl.BlockSpec((GSIZE, TILE), lambda i: (i, jnp.int32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GSIZE, TILE), lambda i: (i, 0),
+            pl.BlockSpec((GSIZE, TILE), lambda i: (i, jnp.int32(0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # rows stay in HBM
         ],
-        out_specs=pl.BlockSpec((GSIZE, TILE), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((GSIZE, TILE), lambda i: (i, jnp.int32(0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((chars.shape[0], TILE), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((GSIZE * TILE, ROW_WORDS), jnp.uint32),
+            pltpu.VMEM((GSIZE * TILE, ROW_WORDS), jnp.int32),
             pltpu.SemaphoreType.DMA((TILE,)),
         ],
         interpret=interpret,
     )(positions, chars, positions, rows)
 
 
+def rank_rows(rows: jax.Array, chars: jax.Array, positions: jax.Array,
+              interpret: bool = False) -> jax.Array:
+    """occ(c, j) over a prebuilt interleaved table (jit-composable).
+
+    kernel in-block popcount + XLA counter-word gather (rows[blk, char]) —
+    the split keeps Mosaic's compile bounded (see _rank_kernel) at the cost
+    of one ~4 B element gather per query on top of the 512 B row DMA.
+    """
+    b = chars.shape[0]
+    granule = GSIZE * TILE
+    bp = -(-b // granule) * granule
+    c32 = chars.astype(jnp.int32)
+    p32 = positions.astype(jnp.int32)
+    cpad = jnp.concatenate(
+        [c32, jnp.zeros((bp - b,), jnp.int32)]).reshape(-1, TILE)
+    ppad = jnp.concatenate(
+        [p32, jnp.zeros((bp - b,), jnp.int32)]).reshape(-1, TILE)
+    hits = rank_rows_padded(rows, cpad, ppad,
+                            interpret=interpret).reshape(-1)[:b]
+    base = rows[p32 // SYMS_PER_ROW, c32]
+    return base + hits
+
+
 def rank_pallas(index: FMIndex, chars: jax.Array, positions: jax.Array,
                 interpret: bool = False) -> jax.Array:
     """occ(c, j) batched — Pallas fast path, drop-in for rank_batch."""
-    rows = interleaved_rows(index)
-    b = int(chars.shape[0])
-    bp = -(-b // (GSIZE * TILE)) * (GSIZE * TILE)
-    cpad = jnp.concatenate(
-        [chars.astype(jnp.uint32), jnp.zeros((bp - b,), jnp.uint32)]
-    ).reshape(-1, TILE)
-    ppad = jnp.concatenate(
-        [positions.astype(jnp.int32), jnp.zeros((bp - b,), jnp.int32)]
-    ).reshape(-1, TILE)
-    out = rank_rows_padded(rows, cpad, ppad, interpret=interpret)
-    return out.reshape(-1)[:b]
+    return rank_rows(interleaved_rows(index), chars, positions,
+                     interpret=interpret)
