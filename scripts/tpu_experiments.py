@@ -121,6 +121,67 @@ def chr21ab():
         sys.stdout.flush()
 
 
+def chr21prof():
+    """Phase breakdown of the chr21 query: frontend vs expansion."""
+    import jax
+    import jax.numpy as jnp
+
+    from slamem_tpu.config import Config
+    from slamem_tpu.engine import seed_mode
+    from slamem_tpu.index.build import build_index
+    from slamem_tpu.utils.synth import strain_pair
+
+    ref, qry = strain_pair(40_000_000, seed=20260816, sub_rate=0.015,
+                           indel_rate=0.0015)
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    cfg = Config(min_length=50)
+    k = 16
+    qp = seed_mode.pad_query(qry)
+    m_p = int(qp.shape[0])
+    refk, sa_aug = seed_mode.seed_table(index, k)
+    qt = jnp.asarray(qp)
+    jax.block_until_ready(refk[0])
+
+    def timed(label, fn, n=2):
+        best = 1e9
+        out = None
+        for _ in range(n):
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({"exp": "chr21prof", "phase": label, "s": best}))
+        sys.stdout.flush()
+        return out
+
+    # packing alone
+    timed("pack", lambda: np.asarray(
+        seed_mode.packed_key_words(qt, k)[0][0][:8]))
+    # frontend join (fused pack+join+cumsum), fetch summary only
+    lo, width, cum, summary = None, None, None, None
+
+    def _front():
+        nonlocal lo, width, cum, summary
+        lo, width, cum, summary = seed_mode.query_frontend(refk, qt, k)
+        return np.asarray(summary)
+
+    sm = timed("frontend_join", _front)
+    print(json.dumps({"exp": "chr21prof", "pairs": int(sm[0]),
+                      "max_w": int(sm[1])}))
+    # expansion+sort+compact at 32M capacity, single block
+    capacity = 1 << 25
+    run_cap = max(4096, capacity // 16)
+    block = min(cfg.position_block, m_p)
+    lo_ext = jnp.concatenate([lo, jnp.zeros((block,), lo.dtype)])
+    w_ext = jnp.concatenate([width, jnp.zeros((block,), width.dtype)])
+    m_off32 = jnp.asarray((m_p + block + 2) // 2, jnp.int32)
+    timed("expand_runs_32M", lambda: np.asarray(
+        seed_mode.expand_block_to_runs(
+            sa_aug, lo_ext, w_ext, jnp.asarray(0, jnp.int64),
+            jnp.asarray(m_p, jnp.int64), m_off32, capacity, run_cap,
+            block)[3]))
+
+
 def scan():
     from slamem_tpu.config import Config
     from slamem_tpu.engine.run import run_engine
@@ -176,6 +237,81 @@ def chr1():
     print(json.dumps({"exp": "chr1", "first_s": first, "query_s": dt,
                       "mbp_per_s": len(qry) / 1e6 / dt,
                       "matches": int(m.length.size)}))
+
+
+
+
+def prof2():
+    """Micro-profile expansion primitives at 32M on the chip."""
+    import jax
+    import jax.numpy as jnp
+
+    C = 1 << 25           # capacity
+    M = 40_000_000        # positions
+    N = 40_000_000        # table rows
+    rng = np.random.default_rng(0)
+    w = jnp.asarray((rng.random(M) < 0.78).astype(np.int32))
+    sa = jnp.asarray(rng.integers(0, N, N).astype(np.int32))
+    text = jnp.asarray(rng.integers(0, 4, N).astype(np.uint8))
+    idx32 = jnp.asarray(rng.integers(0, N, C).astype(np.int32))
+    keys = jnp.asarray(rng.integers(0, 2**31 - 1, C).astype(np.int32))
+    keys2 = jnp.asarray(rng.integers(0, 2**31 - 1, C).astype(np.int32))
+
+    def timed(label, fn, n=2):
+        fn()  # compile+warm
+        best = 1e9
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({"exp": "prof2", "op": label, "s": best}))
+        sys.stdout.flush()
+
+    ends = jnp.cumsum(w)
+
+    @jax.jit
+    def marks_scatter():
+        base = ends - w
+        nseg = M
+        marks = jnp.zeros((C,), jnp.int32).at[
+            jnp.clip(base, max=C)].max(
+                jnp.arange(nseg, dtype=jnp.int32) + 1, mode="drop")
+        return jax.lax.cummax(marks)
+
+    timed("marks_scatter+cummax", lambda: np.asarray(marks_scatter()[:1]))
+
+    @jax.jit
+    def gather32():
+        return sa[idx32]
+
+    timed("gather_4B_32M", lambda: np.asarray(gather32()[:1]))
+
+    @jax.jit
+    def gather8():
+        return text[idx32]
+
+    timed("gather_1B_32M", lambda: np.asarray(gather8()[:1]))
+
+    @jax.jit
+    def cumsum32():
+        return jnp.cumsum(keys)
+
+    timed("cumsum_32M", lambda: np.asarray(cumsum32()[:1]))
+
+    @jax.jit
+    def sort2():
+        return jax.lax.sort((keys, keys2), dimension=0, num_keys=2)
+
+    timed("sort_2col_32M", lambda: np.asarray(sort2()[0][:1]))
+
+    @jax.jit
+    def scatter_small():
+        sidx = jnp.cumsum((keys & 15) == 0) - 1
+        drop = jnp.int32(C // 16)
+        return jnp.full((C // 16,), -1, jnp.int32).at[
+            jnp.where((keys & 15) == 0, sidx, drop)].set(keys, mode="drop")
+
+    timed("flagscan+scatter_2M", lambda: np.asarray(scatter_small()[:1]))
 
 
 if __name__ == "__main__":

@@ -112,6 +112,47 @@ def expand_runs_gathered(mesh: Mesh, sa_aug: jax.Array,
     return fn(sa_aug, lo_ext, w_ext, starts, limits, m_off)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "k", "capacity", "run_capacity",
+                                    "block"))
+def expand_boundaries_gathered(mesh: Mesh, text: jax.Array, qt: jax.Array,
+                               sa_aug: jax.Array, lo_ext: jax.Array,
+                               w_ext: jax.Array, starts: jax.Array,
+                               limits: jax.Array, m_off, k: int,
+                               capacity: int, run_capacity: int,
+                               block: int):
+    """PRODUCTION mesh MEM path: per-device boundary flags + collective
+    merge (BASELINE north star "merged and deduplicated via all_gather/psum
+    collectives before emission").
+
+    Each device expands its position block and computes character-flag run
+    boundaries (engine.seed_mode._expand_flags_core — no pair sort); the
+    start/end events are all_gather'ed in deterministic device order and
+    the psum'd global pair count rides along. Boundary flags are global
+    properties of each pair, so device partitioning cannot fragment a run —
+    the host only matches the k-th start with the k-th end per diagonal.
+    """
+    from slamem_tpu.engine.seed_mode import (_block_slices,
+                                             _expand_flags_core)
+
+    def step(text, qt, sa_aug, lo, w, st, lim, m_off):
+        lo_b, w_b, qpos0 = _block_slices(lo, w, st[0], lim[0], block)
+        sd, sq, ed, eq, ns, ne, npair = _expand_flags_core(
+            text, qt, sa_aug, lo_b, w_b, qpos0, m_off, k, capacity,
+            run_capacity)
+        total = jax.lax.psum(npair, "q")
+        return (jax.lax.all_gather(sd, "q"), jax.lax.all_gather(sq, "q"),
+                jax.lax.all_gather(ed, "q"), jax.lax.all_gather(eq, "q"),
+                jax.lax.all_gather(ns, "q"), jax.lax.all_gather(ne, "q"),
+                total)
+
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P("q"), P("q"), P()),
+        out_specs=(P(), P(), P(), P(), P(), P(), P()), check_vma=False)
+    return fn(text, qt, sa_aug, lo_ext, w_ext, starts, limits, m_off)
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "capacity"))
 def full_query_step(mesh: Mesh, refk, sa_aug: jax.Array,
                     qk, qvalid: jax.Array,

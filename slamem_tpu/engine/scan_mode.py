@@ -195,4 +195,4 @@ def find_scan_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     # FM hits never touch specials: plain SA doubles as the all-valid
     # sign-augmented view (augment_sa with validity all-true)
     return seed_mode.pairs_to_matches(index, lo, width, L, m, cfg, mesh,
-                                      index.sa)
+                                      index.sa, qt=jnp.asarray(qp))

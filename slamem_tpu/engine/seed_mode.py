@@ -471,6 +471,135 @@ def _block_slices(lo_full, w_full, start, limit, block: int):
     return lo, w, qpos0
 
 
+def _expand_flags_core(text: jax.Array, qt: jax.Array, sa_aug: jax.Array,
+                       lo: jax.Array, width: jax.Array, qpos0: jax.Array,
+                       m_off: jax.Array, k: int, capacity: int,
+                       run_capacity: int):
+    """Ragged expansion + CHARACTER-FLAG run boundaries — no pair sort.
+
+    A pair (r, i) at seed depth k means ref[r..r+k) == q[i..i+k). Its
+    predecessor pair (r-1, i-1) exists iff ref[r-1] == q[i-1] with both
+    ordinary bases (N/SEP/edge never match), and its successor iff
+    ref[r+k] == q[i+k] likewise — ONE gathered character comparison per
+    side. Run starts/ends are therefore computable per pair, in expansion
+    order, with no (diag, qpos) sort at all; and the flags are GLOBAL
+    properties of the pair, so block/round/shard partitioning cannot
+    fragment a run. The host pairs the k-th start with the k-th end per
+    diagonal (runs on a diagonal are disjoint and ordered) over arrays the
+    size of the RUN count, not the pair count.
+
+    Replaces the sort backend on the MEM path: at chr21 scale the 32M-pair
+    sort was ~4.5 s of an 11 s query (measured round 2); three 1-4 B
+    gathers per pair replace it.
+    """
+    w32 = width.astype(jnp.int32)
+    ends = jnp.cumsum(w32)
+    base = ends - w32
+    nseg = w32.shape[0]
+    marks = jnp.zeros((capacity,), jnp.int32).at[
+        jnp.clip(base, max=capacity)].max(
+            jnp.arange(nseg, dtype=jnp.int32) + 1, mode="drop")
+    seg_c = jnp.clip(jax.lax.cummax(marks) - 1, 0, nseg - 1)
+    slot = jnp.arange(capacity, dtype=jnp.int32)
+    t = slot - base[seg_c]
+    in_range = slot < ends[nseg - 1]
+    sa_idx = jnp.clip(lo.astype(jnp.int32)[seg_c] + t, 0,
+                      sa_aug.shape[0] - 1)
+    refpos_f = sa_aug[sa_idx]
+    refpos = refpos_f & jnp.int32(0x7FFFFFFF)
+    qp = qpos0.astype(jnp.int32)[seg_c]
+    ok = in_range & (t >= 0) & (t < w32[seg_c]) & (refpos_f >= 0)
+
+    n = text.shape[0]
+    m = qt.shape[0]
+    spec = jnp.uint8(4)
+    c1 = jnp.where(refpos > 0, text[jnp.clip(refpos - 1, 0)], spec)
+    d1 = jnp.where(qp > 0, qt[jnp.clip(qp - 1, 0)], spec)
+    c2 = jnp.where(refpos + k < n, text[jnp.clip(refpos + k, max=n - 1)],
+                   spec)
+    d2 = jnp.where(qp + k < m, qt[jnp.clip(qp + k, max=m - 1)], spec)
+    is_start = ok & ((c1 >= 4) | (d1 >= 4) | (c1 != d1))
+    is_end = ok & ((c2 >= 4) | (d2 >= 4) | (c2 != d2))
+
+    diag = refpos - qp + m_off.astype(jnp.int32)
+    sidx = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    eidx = jnp.cumsum(is_end.astype(jnp.int32)) - 1
+    drop = jnp.int32(run_capacity)
+    sd = jnp.full((run_capacity,), -1, jnp.int32).at[
+        jnp.where(is_start, sidx, drop)].set(diag, mode="drop")
+    sq = jnp.full((run_capacity,), -1, jnp.int32).at[
+        jnp.where(is_start, sidx, drop)].set(qp, mode="drop")
+    ed = jnp.full((run_capacity,), -1, jnp.int32).at[
+        jnp.where(is_end, eidx, drop)].set(diag, mode="drop")
+    eq = jnp.full((run_capacity,), -1, jnp.int32).at[
+        jnp.where(is_end, eidx, drop)].set(qp, mode="drop")
+    n_starts = jnp.sum(is_start, dtype=jnp.int32)
+    n_ends = jnp.sum(is_end, dtype=jnp.int32)
+    n_pairs = jnp.sum(ok, dtype=jnp.int32)
+    return sd, sq, ed, eq, n_starts, n_ends, n_pairs
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "capacity", "run_capacity",
+                                    "block"))
+def expand_block_to_boundaries(text, qt, sa_aug, lo_full, w_full, start,
+                               limit, m_off, k: int, capacity: int,
+                               run_capacity: int, block: int):
+    """Fixed-shape boundary-flag backend for one position block."""
+    lo, w, qpos0 = _block_slices(lo_full, w_full, start, limit, block)
+    return _expand_flags_core(text, qt, sa_aug, lo, w, qpos0, m_off, k,
+                              capacity, run_capacity)
+
+
+class BoundaryBatch:
+    """Accumulates start/end boundary events across rounds/shards."""
+
+    def __init__(self) -> None:
+        self.sd: list[np.ndarray] = []
+        self.sq: list[np.ndarray] = []
+        self.ed: list[np.ndarray] = []
+        self.eq: list[np.ndarray] = []
+
+    def add(self, sd, sq, ed, eq, ns: int, ne: int) -> None:
+        self.sd.append(np.asarray(sd[:ns], np.int64))
+        self.sq.append(np.asarray(sq[:ns], np.int64))
+        self.ed.append(np.asarray(ed[:ne], np.int64))
+        self.eq.append(np.asarray(eq[:ne], np.int64))
+
+    def add_host_pairs(self, ref_codes: np.ndarray, q_codes: np.ndarray,
+                       k: int, d: np.ndarray, q: np.ndarray,
+                       m_off: int) -> None:
+        """Exact global flags computed on host from raw (diag', qpos) pairs
+        (the run-capacity-overflow fallback)."""
+        sel = d != np.iinfo(np.int32).max
+        dd = d[sel].astype(np.int64)
+        qq = q[sel].astype(np.int64)
+        r = dd - m_off + qq
+        n = len(ref_codes)
+        m = len(q_codes)
+        c1 = np.where(r > 0, ref_codes[np.clip(r - 1, 0, None)], 4)
+        d1 = np.where(qq > 0, q_codes[np.clip(qq - 1, 0, None)], 4)
+        c2 = np.where(r + k < n, ref_codes[np.clip(r + k, None, n - 1)], 4)
+        d2 = np.where(qq + k < m, q_codes[np.clip(qq + k, None, m - 1)], 4)
+        is_start = (c1 >= 4) | (d1 >= 4) | (c1 != d1)
+        is_end = (c2 >= 4) | (d2 >= 4) | (c2 != d2)
+        self.sd.append(dd[is_start])
+        self.sq.append(qq[is_start])
+        self.ed.append(dd[is_end])
+        self.eq.append(qq[is_end])
+
+    def runs(self, m_off: int) -> RunBatch:
+        sd = np.concatenate(self.sd) if self.sd else np.zeros(0, np.int64)
+        sq = np.concatenate(self.sq) if self.sq else np.zeros(0, np.int64)
+        ed = np.concatenate(self.ed) if self.ed else np.zeros(0, np.int64)
+        eq = np.concatenate(self.eq) if self.eq else np.zeros(0, np.int64)
+        os_ = np.lexsort((sq, sd))
+        oe_ = np.lexsort((eq, ed))
+        # k-th start on a diagonal pairs with k-th end: runs on a diagonal
+        # are disjoint, so sorted-by-(diag, qpos) starts and ends align
+        return RunBatch(sd[os_] - m_off, sq[os_], eq[oe_])
+
+
 def _compact_pair_runs(d_s, q_s, run_capacity: int):
     """Sorted (diag, qpos) pairs -> run boundary triples, all int32."""
     valid = d_s != _I32MAX
@@ -504,22 +633,21 @@ def expand_block_to_runs(sa_aug, lo_full, w_full, start, limit,
     return _compact_pair_runs(d_s, q_s, run_capacity)
 
 
-def _fused_tail(lo, width, sa_aug, m, capacity: int,
+def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
                 run_capacity: int):
     cum = jnp.cumsum(width.astype(jnp.int64))
     summary = jnp.stack([cum[-1], jnp.max(width).astype(jnp.int64)])
     m_off = jnp.int32(m + 1)  # diag_mod = 2m + 2 convention
     qpos0 = jnp.arange(m, dtype=jnp.int32)
-    d_s, q_s = _expand_pairs_core(sa_aug, lo, width, qpos0, m_off,
-                                  capacity)
-    run_d, run_qs, run_qe, n_runs, _n_pairs = _compact_pair_runs(
-        d_s, q_s, run_capacity)
-    # single int32 wire: run triples + clipped scalars, ONE host transfer.
+    sd, sq, ed, eq, ns, ne, _np_ = _expand_flags_core(
+        text, qt, sa_aug, lo, width, qpos0, m_off, k, capacity,
+        run_capacity)
+    # single int32 wire: boundary events + clipped scalars, ONE transfer.
     # (exact int64 cum/summary stay device-resident for the overflow path.)
     i32max = jnp.int64(np.iinfo(np.int32).max)
     packed = jnp.concatenate([
-        run_d, run_qs, run_qe,
-        jnp.stack([n_runs.astype(jnp.int32),
+        sd, sq, ed, eq,
+        jnp.stack([ns, ne,
                    jnp.minimum(summary[0], i32max).astype(jnp.int32),
                    jnp.minimum(summary[1], i32max).astype(jnp.int32)])])
     return lo, width, cum, summary, packed
@@ -527,34 +655,35 @@ def _fused_tail(lo, width, sa_aug, m, capacity: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "capacity", "run_capacity"))
-def fused_query(refk, sa_aug, qt, k: int, capacity: int,
+def fused_query(text, refk, sa_aug, qt, k: int, capacity: int,
                 run_capacity: int):
     """Whole MEM query in ONE dispatch for the common single-round case.
 
-    Packs K-mers, joins intervals, expands, sorts and compacts runs
-    optimistically against the full capacity; the host fetches three scalars
-    and, when total pairs <= capacity and runs <= run_capacity, only the run
-    triples — two round trips for the entire query. On overflow the returned
-    (lo, width, cum, summary) device arrays feed the planned multi-round
-    path with no recomputation.
+    Packs K-mers, joins intervals, expands and flags run boundaries
+    optimistically against the full capacity; the host fetches four scalars
+    and, when total pairs <= capacity and boundaries <= run_capacity, only
+    the boundary events — two round trips for the entire query. On overflow
+    the returned (lo, width, cum, summary) device arrays feed the planned
+    multi-round path with no recomputation.
     """
     qk_w, qvalid = packed_key_words(qt, k)
     lo, width = _join_intervals(refk, qk_w, qvalid)
-    return _fused_tail(lo, width, sa_aug, qt.shape[0], capacity,
-                       run_capacity)
+    return _fused_tail(text, qt, lo, width, sa_aug, qt.shape[0], k,
+                       capacity, run_capacity)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "capacity", "run_capacity", "shift",
                                     "probes"))
-def fused_query_bucket(refk, starts, sa_aug, qt, k: int, capacity: int,
-                       run_capacity: int, shift: int, probes: int):
+def fused_query_bucket(text, refk, starts, sa_aug, qt, k: int,
+                       capacity: int, run_capacity: int, shift: int,
+                       probes: int):
     """fused_query with the bucket frontend — for references much larger
     than the query batch, where the join would re-sort n + m entries."""
     qk_w, qvalid = packed_key_words(qt, k)
     lo, width = _bucket_intervals(refk, starts, qk_w, qvalid, shift, probes)
-    return _fused_tail(lo, width, sa_aug, qt.shape[0], capacity,
-                       run_capacity)
+    return _fused_tail(text, qt, lo, width, sa_aug, qt.shape[0], k,
+                       capacity, run_capacity)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "block"))
@@ -660,22 +789,23 @@ def roofline_bytes(n: int, m: int, k_words: int, pairs: int,
     """LOWER-BOUND HBM bytes of one seed query (the roofline denominator).
 
     Exact components: the frontend either sorts the n+m combined key rows
-    (k_words+2 int32 columns, one read + one write pass is the floor) or
+    (k_words+1 int32 columns, one read + one write pass is the floor) or
     bucket-probes refk (2 * ~12 probes * k_words gathers of 4 B per query
-    position, counted as m * probes * words * 4); expansion gathers 4 B of
-    sa_aug per pair; the pair sort reads+writes 8 B keys at least once; run
-    compaction reads them once more. A radix sort makes several passes, so
-    achieved time can exceed this floor — hbm_fraction computed from it is a
-    conservative (never flattering) roofline estimate (SURVEY.md §5).
+    position, counted as m * probes * words * 4); the boundary backend then
+    gathers 4 B of sa_aug plus two ~1 B boundary characters per pair and
+    streams the pair-wide flag cumsums (8 B read+write floor per pair). A
+    sort makes several passes and gathers touch whole cache lines, so
+    achieved time can exceed this floor — hbm_fraction computed from it is
+    a conservative (never flattering) roofline estimate (SURVEY.md §5).
     """
     if bucket:
         frontend = m * 2 * 12 * k_words * 4
     else:
-        frontend = (n + m) * 4 * (k_words + 2) * 2
+        frontend = (n + m) * 4 * (k_words + 1) * 2
     expand = pairs * 4
-    pair_sort = pairs * 8 * 2
+    flags = pairs * 2
     compact = pairs * 8
-    return int(frontend + expand + pair_sort + compact)
+    return int(frontend + expand + flags + compact)
 
 
 def _plan_blocks(cum: np.ndarray, m: int, capacity: int,
@@ -754,6 +884,7 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     skip_fused = _last_total(index, k) > capacity
     use_bucket = (cfg.frontend == "bucket"
                   or (cfg.frontend == "auto" and index.n > 2 * m_p))
+    qt = jnp.asarray(qp)
     if cfg.mode.value == "mem" and not skip_fused and (
             mesh is None or len(mesh.devices.flat) == 1):
         # optimistic single-dispatch fast path (overflow falls through);
@@ -762,19 +893,22 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
         if use_bucket:
             starts, shift, probes = bucket_table(index, k)
             lo, width, cum, summary, packed = fused_query_bucket(
-                refk, starts, sa_aug, jnp.asarray(qp), k,
+                index.text, refk, starts, sa_aug, qt, k,
                 capacity, run_cap, shift, probes)
         else:
             lo, width, cum, summary, packed = fused_query(
-                refk, sa_aug, jnp.asarray(qp), k, capacity,
+                index.text, refk, sa_aug, qt, k, capacity,
                 run_cap)
         wire = np.asarray(packed)  # the one round trip
-        nr, total, max_w = (int(wire[-3]), int(wire[-2]), int(wire[-1]))
+        ns, ne, total, max_w = (int(wire[-4]), int(wire[-3]),
+                                int(wire[-2]), int(wire[-1]))
         _set_last_total(index, k, total)
-        if total <= min(capacity, np.iinfo(np.int32).max - 1)                 and nr <= run_cap:
-            runs = runs_from_compacted32(
-                wire[:run_cap], wire[run_cap:2 * run_cap],
-                wire[2 * run_cap:3 * run_cap], nr, m_p + 1)
+        if total <= min(capacity, np.iinfo(np.int32).max - 1)                 and max(ns, ne) <= run_cap:
+            bb = BoundaryBatch()
+            bb.add(wire[:run_cap], wire[run_cap:2 * run_cap],
+                   wire[2 * run_cap:3 * run_cap],
+                   wire[3 * run_cap:4 * run_cap], ns, ne)
+            runs = bb.runs(m_p + 1)
             length = runs.qend - runs.qstart + k
             keep = length >= cfg.min_length
             return SeedMatches(
@@ -783,27 +917,27 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                 stats={"pairs": total, "k": k, "rounds": 1,
                        "bytes_min": roofline_bytes(
                            index.n, m_p, len(refk), total,
-                           bucket=index.n > 2 * m_p)})
+                           bucket=use_bucket)})
         return pairs_to_matches(index, lo, width, k, m_p, cfg, mesh,
                                 sa_aug, cum=cum,
-                                summary=np.asarray(summary))
+                                summary=np.asarray(summary), qt=qt)
     if use_bucket:
         starts, shift, probes = bucket_table(index, k)
         lo, width, cum, summary = query_frontend_bucket(
-            refk, starts, jnp.asarray(qp), k, shift, probes)
+            refk, starts, qt, k, shift, probes)
     else:
-        lo, width, cum, summary = query_frontend(refk, jnp.asarray(qp), k)
+        lo, width, cum, summary = query_frontend(refk, qt, k)
     summary_h = np.asarray(summary)
     if cfg.mode.value == "mem":
         _set_last_total(index, k, int(summary_h[0]))
     return pairs_to_matches(index, lo, width, k, m_p, cfg, mesh, sa_aug,
-                            cum=cum, summary=summary_h)
+                            cum=cum, summary=summary_h, qt=qt)
 
 
 def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                      m: int, cfg: Config, mesh=None,
                      sa_aug: jax.Array | None = None, cum=None,
-                     summary=None) -> SeedMatches:
+                     summary=None, qt=None) -> SeedMatches:
     """Shared backend: intervals at depth k -> maximal matches >= min_length.
 
     Host-side planning slices query positions into rounds whose total pair
@@ -814,6 +948,10 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
     (dist/seed.py). Works for any k <= min_length: runs of consecutive
     depth-k pairs on one diagonal ARE the maximal matches, and the final
     filter keeps lengths >= min_length.
+
+    MEM mode uses the sort-free boundary-flag backend (_expand_flags_core)
+    when ``qt`` (device query codes) is provided; MUM/MAM keep the sorted
+    pair tables their occurrence counts need.
     """
     if sa_aug is None:
         sa_aug = index.sa  # all rows valid
@@ -839,6 +977,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
     w_ext = jnp.concatenate([width, jnp.zeros((block,), width.dtype)])
 
     want_pairs = cfg.mode.value != "mem"
+    use_boundary = (not want_pairs) and qt is not None
     batches: list[RunBatch] = []
     pair_chunks: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
 
@@ -849,13 +988,66 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
         batches.append(batch)
 
     run_cap = max(4096, capacity // 16)
-    dmod = jnp.asarray(diag_mod)
     m_off32 = jnp.asarray(int(diag_mod) // 2, jnp.int32)
+    m_off = int(diag_mod) // 2
+    bb = BoundaryBatch()
+    _host_codes: list = []
+
+    def _fallback_host_flags(start, end) -> None:
+        """Run-capacity overflow: raw pairs + exact host flags."""
+        d_s, q_s = expand_block_pairs(
+            sa_aug, lo_ext, w_ext, jnp.asarray(start, jnp.int64),
+            jnp.asarray(end, jnp.int64), m_off32, capacity, block)
+        if not _host_codes:
+            _host_codes.append((np.asarray(index.text), np.asarray(qt)))
+        rc, qc = _host_codes[0]
+        bb.add_host_pairs(rc, qc, k, np.asarray(d_s), np.asarray(q_s),
+                          m_off)
+
+    def _mem_result(total_pairs: int, rounds: int) -> SeedMatches:
+        runs = bb.runs(m_off)
+        length = runs.qend - runs.qstart + k
+        keep = length >= cfg.min_length
+        return SeedMatches(
+            refpos=(runs.diag + runs.qstart)[keep],
+            qpos=runs.qstart[keep], length=length[keep],
+            stats={"pairs": total_pairs, "k": k, "rounds": rounds,
+                   "bytes_min": roofline_bytes(
+                       index.n, m, 2 if k > 16 else 1, total_pairs,
+                       bucket=index.n > 2 * m)})
+
     if mesh is None or len(mesh.devices.flat) == 1:
-        if not want_pairs:
+        if use_boundary:
             # dispatch ALL rounds before fetching anything: device work and
             # host transfers pipeline instead of paying one round trip per
             # round (round trips dominate on tunneled backends)
+            pending = []
+            for start, end in blocks:
+                pending.append(expand_block_to_boundaries(
+                    index.text, qt, sa_aug, lo_ext, w_ext,
+                    jnp.asarray(start, jnp.int64),
+                    jnp.asarray(end, jnp.int64),
+                    m_off32, k, capacity, run_cap, block))
+            sd_a = sq_a = ed_a = eq_a = ns_a = ne_a = None
+            if pending:
+                stacked = [jnp.stack([p[j] for p in pending])
+                           for j in range(6)]
+                sd_a, sq_a, ed_a, eq_a = (np.asarray(stacked[0]),
+                                          np.asarray(stacked[1]),
+                                          np.asarray(stacked[2]),
+                                          np.asarray(stacked[3]))
+                ns_a = np.asarray(stacked[4])
+                ne_a = np.asarray(stacked[5])
+            for r, (start, end) in enumerate(blocks):
+                ns, ne = int(ns_a[r]), int(ne_a[r])
+                if max(ns, ne) <= run_cap:
+                    bb.add(sd_a[r], sq_a[r], ed_a[r], eq_a[r], ns, ne)
+                else:
+                    _fallback_host_flags(start, end)
+            total_pairs = int(summary[0]) if summary is not None else -1
+            return _mem_result(total_pairs, len(blocks))
+        elif not want_pairs:
+            # legacy run-triple path (no query codes available)
             pending = []
             for start, end in blocks:
                 pending.append(expand_block_to_runs(
@@ -896,7 +1088,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                     np.asarray(d_s), np.asarray(q_s), int(diag_mod) // 2, k,
                     want_pairs))
     else:
-        from slamem_tpu.dist.seed import (expand_runs_gathered,
+        from slamem_tpu.dist.seed import (expand_boundaries_gathered,
                                           sharded_expand_sort)
 
         ndev = len(mesh.devices.flat)
@@ -908,32 +1100,27 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
             for d, (st, en) in enumerate(group):
                 starts[d] = st
                 limits[d] = en
-            if not want_pairs:
-                # production path: on-device run compaction + all_gather'ed
-                # run triples (collective merge, BASELINE north star) — the
-                # host decodes runs, it never sorts pairs
-                gd, gqs, gqe, gnr, _tot = expand_runs_gathered(
-                    mesh, sa_aug, lo_ext, w_ext,
-                    jnp.asarray(starts), jnp.asarray(limits),
-                    m_off32, capacity, run_cap, block)
-                gnr_h = np.asarray(gnr)
-                gd_h, gqs_h, gqe_h = (np.asarray(gd), np.asarray(gqs),
-                                      np.asarray(gqe))
+            if use_boundary:
+                # production path: per-device boundary flags, merged via
+                # all_gather/psum collectives before emission (BASELINE
+                # north star) — the host matches start/end events, it never
+                # sorts pairs
+                gsd, gsq, ged, geq, gns, gne, _tot = (
+                    expand_boundaries_gathered(
+                        mesh, index.text, qt, sa_aug, lo_ext, w_ext,
+                        jnp.asarray(starts), jnp.asarray(limits),
+                        m_off32, k, capacity, run_cap, block))
+                gns_h = np.asarray(gns)
+                gne_h = np.asarray(gne)
+                gsd_h, gsq_h = np.asarray(gsd), np.asarray(gsq)
+                ged_h, geq_h = np.asarray(ged), np.asarray(geq)
                 for di, (st, en) in enumerate(group):
-                    nr = int(gnr_h[di])
-                    if nr <= run_cap:
-                        batches.append(runs_from_compacted32(
-                            gd_h[di], gqs_h[di], gqe_h[di], nr,
-                            int(diag_mod) // 2))
-                    else:  # run overflow: fetch this block's raw pairs
-                        d_s, q_s = expand_block_pairs(
-                            sa_aug, lo_ext, w_ext,
-                            jnp.asarray(st, jnp.int64),
-                            jnp.asarray(en, jnp.int64), m_off32, capacity,
-                            block)
-                        batches.append(runs_from_sorted_pairs(
-                            np.asarray(d_s), np.asarray(q_s),
-                            int(diag_mod) // 2, k, False))
+                    ns, ne = int(gns_h[di]), int(gne_h[di])
+                    if max(ns, ne) <= run_cap:
+                        bb.add(gsd_h[di], gsq_h[di], ged_h[di], geq_h[di],
+                               ns, ne)
+                    else:
+                        _fallback_host_flags(st, en)
             else:
                 d_all, q_all, _total = sharded_expand_sort(
                     mesh, sa_aug, lo_ext, w_ext,
@@ -945,6 +1132,9 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                     _collect(runs_from_sorted_pairs(
                         d_h[di], q_h[di], int(diag_mod) // 2, k,
                         want_pairs))
+        if use_boundary:
+            return _mem_result(
+                int(summary[0]) if summary is not None else -1, len(blocks))
 
     matches = finalize_matches(batches, pair_chunks if want_pairs else None,
                                k, m, diag_mod, cfg)
