@@ -242,7 +242,11 @@ def chr1():
 
 
 def prof2():
-    """Micro-profile expansion primitives at 32M on the chip."""
+    """Micro-profile expansion primitives at 32M on the chip.
+
+    All arrays are passed as jit ARGUMENTS — closed-over device arrays get
+    embedded as HLO constants, and 160 MB constants blow the tunneled
+    remote-compile request limit (HTTP 413, round-2 session 1)."""
     import jax
     import jax.numpy as jnp
 
@@ -257,12 +261,19 @@ def prof2():
     keys = jnp.asarray(rng.integers(0, 2**31 - 1, C).astype(np.int32))
     keys2 = jnp.asarray(rng.integers(0, 2**31 - 1, C).astype(np.int32))
 
-    def timed(label, fn, n=2):
-        fn()  # compile+warm
+    def ground(x):
+        # block_until_ready does NOT wait under the axon tunnel; a 1-element
+        # fetch has a data dependency on the whole result and does
+        while isinstance(x, (tuple, list)):
+            x = x[0]
+        return np.asarray(x[:1])
+
+    def timed(label, fn, *args, n=2):
+        ground(fn(*args))  # compile+warm
         best = 1e9
         for _ in range(n):
             t0 = time.perf_counter()
-            fn()
+            ground(fn(*args))
             best = min(best, time.perf_counter() - t0)
         print(json.dumps({"exp": "prof2", "op": label, "s": best}))
         sys.stdout.flush()
@@ -270,48 +281,40 @@ def prof2():
     ends = jnp.cumsum(w)
 
     @jax.jit
-    def marks_scatter():
+    def marks_scatter(ends, w):
         base = ends - w
-        nseg = M
         marks = jnp.zeros((C,), jnp.int32).at[
             jnp.clip(base, max=C)].max(
-                jnp.arange(nseg, dtype=jnp.int32) + 1, mode="drop")
+                jnp.arange(M, dtype=jnp.int32) + 1, mode="drop")
         return jax.lax.cummax(marks)
 
-    timed("marks_scatter+cummax", lambda: np.asarray(marks_scatter()[:1]))
+    timed("marks_scatter+cummax", marks_scatter, ends, w)
+    timed("gather_4B_32M", jax.jit(lambda sa, i: sa[i]), sa, idx32)
+    timed("gather_1B_32M", jax.jit(lambda t, i: t[i]), text, idx32)
+    timed("cumsum_32M", jax.jit(jnp.cumsum), keys)
+    timed("cumsum_40M", jax.jit(jnp.cumsum), w)
+    timed("sort_2col_32M",
+          jax.jit(lambda a, b: jax.lax.sort((a, b), dimension=0, num_keys=2)),
+          keys, keys2)
 
     @jax.jit
-    def gather32():
-        return sa[idx32]
+    def sort3_join(a, b):
+        # join-frontend shape: (n + m) rows, 2 key cols + tag col
+        k0 = jnp.concatenate([a, b, a, b])[:M * 2]
+        k1 = jnp.concatenate([b, a, b, a])[:M * 2]
+        tag = jnp.arange(M * 2, dtype=jnp.int32)
+        return jax.lax.sort((k0, k1, tag), dimension=0, num_keys=3)
 
-    timed("gather_4B_32M", lambda: np.asarray(gather32()[:1]))
-
-    @jax.jit
-    def gather8():
-        return text[idx32]
-
-    timed("gather_1B_32M", lambda: np.asarray(gather8()[:1]))
+    timed("sort_3col_80M_join", sort3_join, keys, keys2)
 
     @jax.jit
-    def cumsum32():
-        return jnp.cumsum(keys)
-
-    timed("cumsum_32M", lambda: np.asarray(cumsum32()[:1]))
-
-    @jax.jit
-    def sort2():
-        return jax.lax.sort((keys, keys2), dimension=0, num_keys=2)
-
-    timed("sort_2col_32M", lambda: np.asarray(sort2()[0][:1]))
-
-    @jax.jit
-    def scatter_small():
-        sidx = jnp.cumsum((keys & 15) == 0) - 1
+    def scatter_small(keys):
+        sidx = (jnp.cumsum((keys & 15) == 0) - 1).astype(jnp.int32)
         drop = jnp.int32(C // 16)
         return jnp.full((C // 16,), -1, jnp.int32).at[
             jnp.where((keys & 15) == 0, sidx, drop)].set(keys, mode="drop")
 
-    timed("flagscan+scatter_2M", lambda: np.asarray(scatter_small()[:1]))
+    timed("flagscan+scatter_2M", scatter_small, keys)
 
 
 if __name__ == "__main__":
