@@ -317,5 +317,79 @@ def prof2():
     timed("flagscan+scatter_2M", scatter_small, keys)
 
 
+def prof3():
+    """Isolate the seg-id machinery's pieces and try cheaper formulations.
+
+    Question set (engine/seed_mode.py _expand_seg): of scatter-max + cummax
+    + one monotone block gather, which op carries the ~0.5 s at 32M — and do
+    scatter-add + cumsum (count fill) or delta-scatter + cumsum (value fill,
+    replacing the gather entirely) beat it?
+    """
+    import jax
+    import jax.numpy as jnp
+
+    C = 1 << 25           # capacity slots
+    M = 40_000_000        # segments (positions)
+    rng = np.random.default_rng(1)
+    w = jnp.asarray((rng.random(M) < 0.78).astype(np.int32))
+    vals = jnp.asarray(rng.integers(-2**30, 2**30, M).astype(np.int32))
+    segc = jnp.asarray(np.minimum(
+        np.sort(rng.integers(0, M, C)).astype(np.int32), M - 1))
+
+    def ground(x):
+        while isinstance(x, (tuple, list)):
+            x = x[0]
+        return np.asarray(x[:1])
+
+    def timed(label, fn, *args, n=2):
+        ground(fn(*args))
+        best = 1e9
+        for _ in range(n):
+            t0 = time.perf_counter()
+            ground(fn(*args))
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({"exp": "prof3", "op": label, "s": best}))
+        sys.stdout.flush()
+
+    @jax.jit
+    def base_of(w):
+        ends = jnp.cumsum(w)
+        return ends - w
+
+    @jax.jit
+    def scatter_max_only(w):
+        base = base_of(w)
+        return jnp.zeros((C,), jnp.int32).at[
+            jnp.clip(base, max=C)].max(
+                jnp.arange(M, dtype=jnp.int32) + 1, mode="drop")
+
+    @jax.jit
+    def scatter_add_only(w):
+        base = base_of(w)
+        return jnp.zeros((C,), jnp.int32).at[
+            jnp.clip(base, max=C)].add(1, mode="drop")
+
+    timed("cummax_32M", jax.jit(jax.lax.cummax), segc)
+    timed("scatter_max_40Mto32M", scatter_max_only, w)
+    timed("scatter_add_40Mto32M", scatter_add_only, w)
+    timed("segc_max_cummax", jax.jit(
+        lambda w: jax.lax.cummax(scatter_max_only(w))), w)
+    timed("segc_add_cumsum", jax.jit(
+        lambda w: jnp.cumsum(scatter_add_only(w))), w)
+    timed("gather_monotone_32M", jax.jit(lambda v, i: v[i]), vals, segc)
+
+    @jax.jit
+    def delta_fill(vals, w):
+        # per-slot vals[seg] with NO gather: scatter value deltas at bases
+        # (duplicates telescope under add), then cumsum
+        base = base_of(w)
+        dv = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]])
+        acc = jnp.zeros((C,), jnp.int32).at[
+            jnp.clip(base, max=C)].add(dv, mode="drop")
+        return jnp.cumsum(acc)
+
+    timed("delta_fill_vals", delta_fill, vals, w)
+
+
 if __name__ == "__main__":
     globals()[sys.argv[1]]()

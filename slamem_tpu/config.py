@@ -56,6 +56,14 @@ class Config:
     # the query batch (n > 2m), else combined-sort join; "join"/"bucket"
     # force one (A/B tuning surface, engine/seed_mode.py)
     frontend: str = "auto"
+    # MEM run extraction backend: "sort" radix-sorts (diag, qpos) pairs and
+    # compacts runs on device (cheapest measured on v5e: a 2-column 32M
+    # int32 sort is ~0.15 s while each extra per-pair gather is ~0.4-0.5 s);
+    # "boundary" computes character-flag run boundaries during expansion
+    # (no pair sort, +4 boundary-char gathers per pair; global flags, so
+    # partitioning can never fragment a run). Both are exact and
+    # parity-tested; engine/seed_mode.py.
+    match_backend: str = "sort"
     verbose: bool = False
 
     # --- distribution (SURVEY §2 "new first-class components") ---

@@ -45,8 +45,8 @@ def sharded_expand_sort(mesh: Mesh, sa_aug: jax.Array,
     from slamem_tpu.engine.seed_mode import _block_slices, _expand_pairs_core
 
     def step(sa_aug, lo, w, st, lim, m_off):
-        lo_b, w_b, qpos0 = _block_slices(lo, w, st[0], lim[0], block)
-        d_s, q_s = _expand_pairs_core(sa_aug, lo_b, w_b, qpos0, m_off,
+        lo_b, w_b, q_start = _block_slices(lo, w, st[0], lim[0], block)
+        d_s, q_s = _expand_pairs_core(sa_aug, lo_b, w_b, q_start, m_off,
                                       capacity)
         count = jnp.sum(d_s != _I32MAX)
         total = jax.lax.psum(count, "q")
@@ -91,8 +91,8 @@ def expand_runs_gathered(mesh: Mesh, sa_aug: jax.Array,
                                              _expand_pairs_core)
 
     def step(sa_aug, lo, w, st, lim, m_off):
-        lo_b, w_b, qpos0 = _block_slices(lo, w, st[0], lim[0], block)
-        d_s, q_s = _expand_pairs_core(sa_aug, lo_b, w_b, qpos0, m_off,
+        lo_b, w_b, q_start = _block_slices(lo, w, st[0], lim[0], block)
+        d_s, q_s = _expand_pairs_core(sa_aug, lo_b, w_b, q_start, m_off,
                                       capacity)
         run_d, run_qs, run_qe, n_runs, n_pairs = _compact_pair_runs(
             d_s, q_s, run_capacity)
@@ -136,9 +136,9 @@ def expand_boundaries_gathered(mesh: Mesh, text: jax.Array, qt: jax.Array,
                                              _expand_flags_core)
 
     def step(text, qt, sa_aug, lo, w, st, lim, m_off):
-        lo_b, w_b, qpos0 = _block_slices(lo, w, st[0], lim[0], block)
+        lo_b, w_b, q_start = _block_slices(lo, w, st[0], lim[0], block)
         sd, sq, ed, eq, ns, ne, npair = _expand_flags_core(
-            text, qt, sa_aug, lo_b, w_b, qpos0, m_off, k, capacity,
+            text, qt, sa_aug, lo_b, w_b, q_start, m_off, k, capacity,
             run_capacity)
         total = jax.lax.psum(npair, "q")
         return (jax.lax.all_gather(sd, "q"), jax.lax.all_gather(sq, "q"),
@@ -175,9 +175,10 @@ def full_query_step(mesh: Mesh, refk, sa_aug: jax.Array,
     def step(refk, sa_aug, qk, qv, q0, m_off):
         refk_w = refk if isinstance(refk, tuple) else (refk,)
         qk_w = tuple(w[0] for w in (qk if isinstance(qk, tuple) else (qk,)))
-        qv1, q01 = qv[0], q0[0]
+        qv1 = qv[0]
+        q_start = q0[0, 0]  # each shard's block is a contiguous range
         lo, width = _join_intervals(refk_w, qk_w, qv1)
-        d_s, q_s = _expand_pairs_core(sa_aug, lo, width, q01, m_off,
+        d_s, q_s = _expand_pairs_core(sa_aug, lo, width, q_start, m_off,
                                       capacity)
         total = jax.lax.psum(jnp.sum(d_s != _I32MAX), "q")
         run_d, run_qs, run_qe, n_runs, _ = _compact_pair_runs(

@@ -151,8 +151,8 @@ def sharded_expand(mesh: Mesh, sa_sh, lo_sh, w_sh, start, limit,
                                              _expand_pairs_core)
 
     def step(sa_l, lo_l, w_l, st, lim, m_off):
-        lo_b, w_b, qpos0 = _block_slices(lo_l[0], w_l[0], st, lim, block)
-        d_s, q_s = _expand_pairs_core(sa_l[0], lo_b, w_b, qpos0, m_off,
+        lo_b, w_b, q_start = _block_slices(lo_l[0], w_l[0], st, lim, block)
+        d_s, q_s = _expand_pairs_core(sa_l[0], lo_b, w_b, q_start, m_off,
                                       capacity)
         return d_s[None], q_s[None]
 
@@ -185,8 +185,8 @@ def sharded_expand_runs(mesh: Mesh, sa_sh, lo_sh, w_sh, start, limit,
                                              _expand_pairs_core)
 
     def step(sa_l, lo_l, w_l, st, lim, m_off):
-        lo_b, w_b, qpos0 = _block_slices(lo_l[0], w_l[0], st, lim, block)
-        d_s, q_s = _expand_pairs_core(sa_l[0], lo_b, w_b, qpos0, m_off,
+        lo_b, w_b, q_start = _block_slices(lo_l[0], w_l[0], st, lim, block)
+        d_s, q_s = _expand_pairs_core(sa_l[0], lo_b, w_b, q_start, m_off,
                                       capacity)
         run_d, run_qs, run_qe, n_runs, n_pairs = _compact_pair_runs(
             d_s, q_s, run_capacity)

@@ -300,8 +300,42 @@ def augment_sa(sa: jax.Array, rowvalid: jax.Array) -> jax.Array:
     return jnp.where(rowvalid, sa, sa | jnp.int32(np.int32(-0x80000000)))
 
 
+def _expand_seg(lo: jax.Array, width: jax.Array, capacity: int):
+    """Shared ragged-expansion skeleton: per-slot segment id + SA index.
+
+    Returns (seg_c, sa_idx_raw, in_range): slot i of the capacity-wide pair
+    buffer belongs to query-position segment seg_c[i] and points at SA row
+    sa_idx_raw[i] (unclipped). Segment bases partition [0, total) with no
+    gaps (base[s+1] = ends[s]), so the membership tests t >= 0 and
+    t < width[seg] hold by construction and are NOT re-checked — a
+    zero-width segment scatters its mark at the same slot as the next
+    nonzero segment and always loses the max.
+
+    Cost discipline (v5e prof2 battery, 32M slots): each per-slot gather is
+    ~0.4-0.5 s while cumsums/compares are ~0.04 s, so the skeleton performs
+    exactly ONE block-table gather — A = lo - base, gathered once, gives
+    sa_idx = slot + A[seg] — where the naive form (base[seg], lo[seg],
+    w[seg], qpos[seg]) needed four. Query positions are recovered
+    arithmetically by callers as q_start + seg_c (expansion blocks are
+    always contiguous position ranges).
+    """
+    w32 = width.astype(jnp.int32)
+    ends = jnp.cumsum(w32)
+    base = ends - w32
+    nseg = w32.shape[0]
+    marks = jnp.zeros((capacity,), jnp.int32).at[
+        jnp.clip(base, max=capacity)].max(
+            jnp.arange(nseg, dtype=jnp.int32) + 1, mode="drop")
+    seg_c = jnp.clip(jax.lax.cummax(marks) - 1, 0, nseg - 1)
+    slot = jnp.arange(capacity, dtype=jnp.int32)
+    rel = lo.astype(jnp.int32) - base                 # block-sized
+    sa_idx_raw = slot + rel[seg_c]                    # the one gather
+    in_range = slot < ends[nseg - 1]
+    return seg_c, sa_idx_raw, in_range
+
+
 def _expand_pairs_core(sa_aug: jax.Array, lo: jax.Array,
-                       width: jax.Array, qpos0: jax.Array, m_off: jax.Array,
+                       width: jax.Array, q_start, m_off: jax.Array,
                        capacity: int) -> tuple[jax.Array, jax.Array]:
     """Ragged expansion + lexicographic sort, all in int32.
 
@@ -314,24 +348,15 @@ def _expand_pairs_core(sa_aug: jax.Array, lo: jax.Array,
 
     ``sa_aug`` is the augment_sa view: SA value plus a sign-bit invalid flag
     per row; row-indexed so it shards alongside SA slabs (dist/sharded.py).
+    ``q_start`` is the scalar query position of segment 0 — expansion blocks
+    are contiguous, so qpos = q_start + seg (no per-slot gather).
     """
-    w32 = width.astype(jnp.int32)
-    ends = jnp.cumsum(w32)
-    base = ends - w32
-    nseg = w32.shape[0]
-    marks = jnp.zeros((capacity,), jnp.int32).at[
-        jnp.clip(base, max=capacity)].max(
-            jnp.arange(nseg, dtype=jnp.int32) + 1, mode="drop")
-    seg_c = jnp.clip(jax.lax.cummax(marks) - 1, 0, nseg - 1)
-    slot = jnp.arange(capacity, dtype=jnp.int32)
-    t = slot - base[seg_c]
-    in_range = slot < ends[nseg - 1]
-    sa_idx = jnp.clip(lo.astype(jnp.int32)[seg_c] + t, 0,
-                      sa_aug.shape[0] - 1)
+    seg_c, sa_idx_raw, in_range = _expand_seg(lo, width, capacity)
+    sa_idx = jnp.clip(sa_idx_raw, 0, sa_aug.shape[0] - 1)
     refpos_f = sa_aug[sa_idx]
     refpos = refpos_f & jnp.int32(0x7FFFFFFF)
-    qp = qpos0.astype(jnp.int32)[seg_c]
-    ok = in_range & (t >= 0) & (t < w32[seg_c]) & (refpos_f >= 0)
+    qp = jnp.asarray(q_start, jnp.int32) + seg_c
+    ok = in_range & (refpos_f >= 0)
     d = jnp.where(ok, refpos - qp + m_off.astype(jnp.int32), _I32MAX)
     q = jnp.where(ok, qp, _I32MAX)
     d_s, q_s = jax.lax.sort((d, q), dimension=0, num_keys=2)
@@ -394,14 +419,14 @@ def _join_intervals(refk, qk, qvalid: jax.Array
     is_ref = (tagidx_s == 0).astype(jnp.int32)
     crefs = jnp.cumsum(is_ref, dtype=jnp.int32)        # inclusive
     excl = crefs - is_ref                              # refs strictly before
-    pos = jnp.arange(n + m, dtype=jnp.int32)
     same_key = jnp.ones((n + m - 1,), jnp.bool_)
     for ks in keys_s:
         same_key = same_key & (ks[1:] == ks[:-1])
-    new_run = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32), (~same_key).astype(jnp.int32)])
-    rs = jax.lax.cummax(jnp.where(new_run == 1, pos, 0))
-    left = excl[rs]
+    new_run = jnp.concatenate([jnp.ones((1,), jnp.bool_), ~same_key])
+    # left bound = excl at the slot's run start; excl is non-decreasing, so
+    # a cummax fill replaces the (run-start positions, excl[rs]) gather —
+    # per-slot gathers are the measured v5e wall, cummaxes are ~15x cheaper
+    left = jax.lax.cummax(jnp.where(new_run, excl, -1))
     right = crefs  # == excl at query slots
     q_slot = tagidx_s > 0
     scatter_idx = jnp.where(q_slot, tagidx_s - 1, m)
@@ -461,18 +486,19 @@ def _block_slices(lo_full, w_full, start, limit, block: int):
     variable host-side slicing used to trigger a multi-minute XLA compile
     per round on remote backends. Positions >= limit contribute nothing
     (the planner's true block end); callers pre-pad lo/w by `block` zeros so
-    the slice never clamps."""
+    the slice never clamps. Returns the scalar block start (int32) as the
+    expansion cores' q_start — block positions are contiguous."""
     lo = jax.lax.dynamic_slice(lo_full, (start,), (block,))
     w = jax.lax.dynamic_slice(w_full, (start,), (block,))
     qpos0 = (start.astype(jnp.int32)
              + jnp.arange(block, dtype=jnp.int32))
     w = jnp.where(qpos0.astype(limit.dtype) < limit, w,
                   jnp.zeros((), w.dtype))
-    return lo, w, qpos0
+    return lo, w, start.astype(jnp.int32)
 
 
 def _expand_flags_core(text: jax.Array, qt: jax.Array, sa_aug: jax.Array,
-                       lo: jax.Array, width: jax.Array, qpos0: jax.Array,
+                       lo: jax.Array, width: jax.Array, q_start,
                        m_off: jax.Array, k: int, capacity: int,
                        run_capacity: int):
     """Ragged expansion + CHARACTER-FLAG run boundaries — no pair sort.
@@ -488,27 +514,18 @@ def _expand_flags_core(text: jax.Array, qt: jax.Array, sa_aug: jax.Array,
     diagonal (runs on a diagonal are disjoint and ordered) over arrays the
     size of the RUN count, not the pair count.
 
-    Replaces the sort backend on the MEM path: at chr21 scale the 32M-pair
-    sort was ~4.5 s of an 11 s query (measured round 2); three 1-4 B
-    gathers per pair replace it.
+    Alternative MEM backend (Config.match_backend = "boundary"): it trades
+    the pair sort for four boundary-character gathers per pair. On v5e the
+    2-column int32 sort is cheaper than the gathers it saves (prof2
+    battery: 0.15 s vs ~1.5 s at 32M), so "sort" is the default; the flag
+    backend remains for its partition-invariance and as the A/B surface.
     """
-    w32 = width.astype(jnp.int32)
-    ends = jnp.cumsum(w32)
-    base = ends - w32
-    nseg = w32.shape[0]
-    marks = jnp.zeros((capacity,), jnp.int32).at[
-        jnp.clip(base, max=capacity)].max(
-            jnp.arange(nseg, dtype=jnp.int32) + 1, mode="drop")
-    seg_c = jnp.clip(jax.lax.cummax(marks) - 1, 0, nseg - 1)
-    slot = jnp.arange(capacity, dtype=jnp.int32)
-    t = slot - base[seg_c]
-    in_range = slot < ends[nseg - 1]
-    sa_idx = jnp.clip(lo.astype(jnp.int32)[seg_c] + t, 0,
-                      sa_aug.shape[0] - 1)
+    seg_c, sa_idx_raw, in_range = _expand_seg(lo, width, capacity)
+    sa_idx = jnp.clip(sa_idx_raw, 0, sa_aug.shape[0] - 1)
     refpos_f = sa_aug[sa_idx]
     refpos = refpos_f & jnp.int32(0x7FFFFFFF)
-    qp = qpos0.astype(jnp.int32)[seg_c]
-    ok = in_range & (t >= 0) & (t < w32[seg_c]) & (refpos_f >= 0)
+    qp = jnp.asarray(q_start, jnp.int32) + seg_c
+    ok = in_range & (refpos_f >= 0)
 
     n = text.shape[0]
     m = qt.shape[0]
@@ -546,8 +563,8 @@ def expand_block_to_boundaries(text, qt, sa_aug, lo_full, w_full, start,
                                limit, m_off, k: int, capacity: int,
                                run_capacity: int, block: int):
     """Fixed-shape boundary-flag backend for one position block."""
-    lo, w, qpos0 = _block_slices(lo_full, w_full, start, limit, block)
-    return _expand_flags_core(text, qt, sa_aug, lo, w, qpos0, m_off, k,
+    lo, w, q_start = _block_slices(lo_full, w_full, start, limit, block)
+    return _expand_flags_core(text, qt, sa_aug, lo, w, q_start, m_off, k,
                               capacity, run_capacity)
 
 
@@ -628,62 +645,75 @@ def expand_block_to_runs(sa_aug, lo_full, w_full, start, limit,
     """Fixed-shape MEM fast path, int32 end to end: expansion, pair sort and
     run compaction without one 64-bit value; only run boundaries (3 int32
     arrays of run_capacity) leave the device."""
-    lo, w, qpos0 = _block_slices(lo_full, w_full, start, limit, block)
-    d_s, q_s = _expand_pairs_core(sa_aug, lo, w, qpos0, m_off, capacity)
+    lo, w, q_start = _block_slices(lo_full, w_full, start, limit, block)
+    d_s, q_s = _expand_pairs_core(sa_aug, lo, w, q_start, m_off, capacity)
     return _compact_pair_runs(d_s, q_s, run_capacity)
 
 
 def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
-                run_capacity: int):
+                run_capacity: int, backend: str):
+    """Shared fused-query tail: expansion + run extraction, ONE int32 wire.
+
+    backend "sort": run triples (3 x run_capacity) + [n_runs, total, max_w];
+    backend "boundary": start/end events (4 x run_capacity) +
+    [n_starts, n_ends, total, max_w]. The exact int64 cum/summary stay
+    device-resident for the overflow path.
+    """
     cum = jnp.cumsum(width.astype(jnp.int64))
     summary = jnp.stack([cum[-1], jnp.max(width).astype(jnp.int64)])
     m_off = jnp.int32(m + 1)  # diag_mod = 2m + 2 convention
-    qpos0 = jnp.arange(m, dtype=jnp.int32)
-    sd, sq, ed, eq, ns, ne, _np_ = _expand_flags_core(
-        text, qt, sa_aug, lo, width, qpos0, m_off, k, capacity,
-        run_capacity)
-    # single int32 wire: boundary events + clipped scalars, ONE transfer.
-    # (exact int64 cum/summary stay device-resident for the overflow path.)
     i32max = jnp.int64(np.iinfo(np.int32).max)
-    packed = jnp.concatenate([
-        sd, sq, ed, eq,
-        jnp.stack([ns, ne,
-                   jnp.minimum(summary[0], i32max).astype(jnp.int32),
-                   jnp.minimum(summary[1], i32max).astype(jnp.int32)])])
+    clipped = jnp.stack([jnp.minimum(summary[0], i32max).astype(jnp.int32),
+                         jnp.minimum(summary[1], i32max).astype(jnp.int32)])
+    if backend == "boundary":
+        sd, sq, ed, eq, ns, ne, _np_ = _expand_flags_core(
+            text, qt, sa_aug, lo, width, jnp.int32(0), m_off, k, capacity,
+            run_capacity)
+        packed = jnp.concatenate([sd, sq, ed, eq,
+                                  jnp.stack([ns, ne]), clipped])
+    else:
+        d_s, q_s = _expand_pairs_core(sa_aug, lo, width, jnp.int32(0),
+                                      m_off, capacity)
+        run_d, run_qs, run_qe, n_runs, _n_pairs = _compact_pair_runs(
+            d_s, q_s, run_capacity)
+        packed = jnp.concatenate([run_d, run_qs, run_qe,
+                                  jnp.stack([n_runs.astype(jnp.int32)]),
+                                  clipped])
     return lo, width, cum, summary, packed
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "capacity", "run_capacity"))
+                   static_argnames=("k", "capacity", "run_capacity",
+                                    "backend"))
 def fused_query(text, refk, sa_aug, qt, k: int, capacity: int,
-                run_capacity: int):
+                run_capacity: int, backend: str = "sort"):
     """Whole MEM query in ONE dispatch for the common single-round case.
 
-    Packs K-mers, joins intervals, expands and flags run boundaries
-    optimistically against the full capacity; the host fetches four scalars
-    and, when total pairs <= capacity and boundaries <= run_capacity, only
-    the boundary events — two round trips for the entire query. On overflow
-    the returned (lo, width, cum, summary) device arrays feed the planned
+    Packs K-mers, joins intervals, expands and extracts runs optimistically
+    against the full capacity; the host fetches a few scalars and, when
+    total pairs <= capacity and runs/boundaries fit run_capacity, only the
+    run payload — two round trips for the entire query. On overflow the
+    returned (lo, width, cum, summary) device arrays feed the planned
     multi-round path with no recomputation.
     """
     qk_w, qvalid = packed_key_words(qt, k)
     lo, width = _join_intervals(refk, qk_w, qvalid)
     return _fused_tail(text, qt, lo, width, sa_aug, qt.shape[0], k,
-                       capacity, run_capacity)
+                       capacity, run_capacity, backend)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "capacity", "run_capacity", "shift",
-                                    "probes"))
+                                    "probes", "backend"))
 def fused_query_bucket(text, refk, starts, sa_aug, qt, k: int,
                        capacity: int, run_capacity: int, shift: int,
-                       probes: int):
+                       probes: int, backend: str = "sort"):
     """fused_query with the bucket frontend — for references much larger
     than the query batch, where the join would re-sort n + m entries."""
     qk_w, qvalid = packed_key_words(qt, k)
     lo, width = _bucket_intervals(refk, starts, qk_w, qvalid, shift, probes)
     return _fused_tail(text, qt, lo, width, sa_aug, qt.shape[0], k,
-                       capacity, run_capacity)
+                       capacity, run_capacity, backend)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "block"))
@@ -691,8 +721,8 @@ def expand_block_pairs(sa_aug, lo_full, w_full, start, limit,
                        m_off, capacity: int, block: int):
     """Fixed-shape expansion returning sorted int32 (diag', qpos) pairs —
     the overflow / MUM/MAM path (per-pair data must reach the host)."""
-    lo, w, qpos0 = _block_slices(lo_full, w_full, start, limit, block)
-    return _expand_pairs_core(sa_aug, lo, w, qpos0, m_off, capacity)
+    lo, w, q_start = _block_slices(lo_full, w_full, start, limit, block)
+    return _expand_pairs_core(sa_aug, lo, w, q_start, m_off, capacity)
 
 
 # ---------------------------------------------------------------------------
@@ -890,34 +920,46 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
         # optimistic single-dispatch fast path (overflow falls through);
         # bucket frontend when the table dwarfs the query batch (the join
         # re-sorts n + m entries, the bucket search is O(m log maxbucket))
+        backend = cfg.match_backend
         if use_bucket:
             starts, shift, probes = bucket_table(index, k)
             lo, width, cum, summary, packed = fused_query_bucket(
                 index.text, refk, starts, sa_aug, qt, k,
-                capacity, run_cap, shift, probes)
+                capacity, run_cap, shift, probes, backend)
         else:
             lo, width, cum, summary, packed = fused_query(
                 index.text, refk, sa_aug, qt, k, capacity,
-                run_cap)
+                run_cap, backend)
         wire = np.asarray(packed)  # the one round trip
-        ns, ne, total, max_w = (int(wire[-4]), int(wire[-3]),
-                                int(wire[-2]), int(wire[-1]))
+        total, max_w = int(wire[-2]), int(wire[-1])
         _set_last_total(index, k, total)
-        if total <= min(capacity, np.iinfo(np.int32).max - 1)                 and max(ns, ne) <= run_cap:
-            bb = BoundaryBatch()
-            bb.add(wire[:run_cap], wire[run_cap:2 * run_cap],
-                   wire[2 * run_cap:3 * run_cap],
-                   wire[3 * run_cap:4 * run_cap], ns, ne)
-            runs = bb.runs(m_p + 1)
-            length = runs.qend - runs.qstart + k
+
+        def _fused_result(runs_obj):
+            length = runs_obj.qend - runs_obj.qstart + k
             keep = length >= cfg.min_length
             return SeedMatches(
-                refpos=(runs.diag + runs.qstart)[keep],
-                qpos=runs.qstart[keep], length=length[keep],
+                refpos=(runs_obj.diag + runs_obj.qstart)[keep],
+                qpos=runs_obj.qstart[keep], length=length[keep],
                 stats={"pairs": total, "k": k, "rounds": 1,
                        "bytes_min": roofline_bytes(
                            index.n, m_p, len(refk), total,
                            bucket=use_bucket)})
+
+        fits = total <= min(capacity, np.iinfo(np.int32).max - 1)
+        if backend == "boundary":
+            ns, ne = int(wire[-4]), int(wire[-3])
+            if fits and max(ns, ne) <= run_cap:
+                bb = BoundaryBatch()
+                bb.add(wire[:run_cap], wire[run_cap:2 * run_cap],
+                       wire[2 * run_cap:3 * run_cap],
+                       wire[3 * run_cap:4 * run_cap], ns, ne)
+                return _fused_result(bb.runs(m_p + 1))
+        else:
+            n_runs = int(wire[-3])
+            if fits and n_runs <= run_cap:
+                return _fused_result(runs_from_compacted32(
+                    wire[:run_cap], wire[run_cap:2 * run_cap],
+                    wire[2 * run_cap:3 * run_cap], n_runs, m_p + 1))
         return pairs_to_matches(index, lo, width, k, m_p, cfg, mesh,
                                 sa_aug, cum=cum,
                                 summary=np.asarray(summary), qt=qt)
@@ -949,9 +991,10 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
     depth-k pairs on one diagonal ARE the maximal matches, and the final
     filter keeps lengths >= min_length.
 
-    MEM mode uses the sort-free boundary-flag backend (_expand_flags_core)
-    when ``qt`` (device query codes) is provided; MUM/MAM keep the sorted
-    pair tables their occurrence counts need.
+    MEM mode extracts runs with the backend picked by Config.match_backend:
+    "sort" (default) compacts device-sorted pairs into run triples,
+    "boundary" ships character-flag start/end events (_expand_flags_core);
+    MUM/MAM keep the sorted pair tables their occurrence counts need.
     """
     if sa_aug is None:
         sa_aug = index.sa  # all rows valid
@@ -977,7 +1020,8 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
     w_ext = jnp.concatenate([width, jnp.zeros((block,), width.dtype)])
 
     want_pairs = cfg.mode.value != "mem"
-    use_boundary = (not want_pairs) and qt is not None
+    use_boundary = ((not want_pairs) and qt is not None
+                    and cfg.match_backend == "boundary")
     batches: list[RunBatch] = []
     pair_chunks: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
 
@@ -1089,6 +1133,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                     want_pairs))
     else:
         from slamem_tpu.dist.seed import (expand_boundaries_gathered,
+                                          expand_runs_gathered,
                                           sharded_expand_sort)
 
         ndev = len(mesh.devices.flat)
@@ -1101,10 +1146,9 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                 starts[d] = st
                 limits[d] = en
             if use_boundary:
-                # production path: per-device boundary flags, merged via
-                # all_gather/psum collectives before emission (BASELINE
-                # north star) — the host matches start/end events, it never
-                # sorts pairs
+                # boundary backend: per-device boundary flags, merged via
+                # all_gather/psum collectives before emission — the host
+                # matches start/end events, it never sorts pairs
                 gsd, gsq, ged, geq, gns, gne, _tot = (
                     expand_boundaries_gathered(
                         mesh, index.text, qt, sa_aug, lo_ext, w_ext,
@@ -1121,6 +1165,32 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                                ns, ne)
                     else:
                         _fallback_host_flags(st, en)
+            elif not want_pairs:
+                # production MEM path: on-device sort + run compaction,
+                # triples merged via all_gather/psum collectives before
+                # emission (BASELINE north star) — the host decodes runs
+                gd, gqs, gqe, gnr, _tot = expand_runs_gathered(
+                    mesh, sa_aug, lo_ext, w_ext,
+                    jnp.asarray(starts), jnp.asarray(limits),
+                    m_off32, capacity, run_cap, block)
+                gnr_h = np.asarray(gnr)
+                gd_h, gqs_h, gqe_h = (np.asarray(gd), np.asarray(gqs),
+                                      np.asarray(gqe))
+                for di, (st, en) in enumerate(group):
+                    nr = int(gnr_h[di])
+                    if nr <= run_cap:
+                        batches.append(runs_from_compacted32(
+                            gd_h[di], gqs_h[di], gqe_h[di], nr,
+                            int(diag_mod) // 2))
+                    else:  # run overflow: fetch this block's raw pairs
+                        d_s, q_s = expand_block_pairs(
+                            sa_aug, lo_ext, w_ext,
+                            jnp.asarray(st, jnp.int64),
+                            jnp.asarray(en, jnp.int64), m_off32, capacity,
+                            block)
+                        batches.append(runs_from_sorted_pairs(
+                            np.asarray(d_s), np.asarray(q_s),
+                            int(diag_mod) // 2, k, False))
             else:
                 d_all, q_all, _total = sharded_expand_sort(
                     mesh, sa_aug, lo_ext, w_ext,

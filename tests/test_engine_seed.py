@@ -344,3 +344,18 @@ def test_phase_log_roofline_fields():
     r = log.records[-1]
     assert r["phase"] == "query"
     assert "gb_per_s" in r and "hbm_fraction" in r and "mbp_per_s" in r
+
+
+def test_match_backend_parity():
+    # sort (default) and boundary backends must be bit-identical, fused
+    # single-dispatch and planned multi-round alike
+    ref = random_genome(20_000, seed=50)
+    qry = mutate(ref, 0.02, 0.002, seed=51)
+    index = build_index(np.asarray(ref, np.uint8))
+    for cap in (1 << 20, 4096):  # fused path / multi-round planned path
+        srt = engine_tuples(index, qry, Config(
+            min_length=12, pair_capacity=cap))
+        bnd = engine_tuples(index, qry, Config(
+            min_length=12, pair_capacity=cap, match_backend="boundary"))
+        assert srt == bnd
+        assert len(srt) > 0
