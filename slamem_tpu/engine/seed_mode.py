@@ -307,29 +307,36 @@ def _expand_seg(lo: jax.Array, width: jax.Array, capacity: int):
     buffer belongs to query-position segment seg_c[i] and points at SA row
     sa_idx_raw[i] (unclipped). Segment bases partition [0, total) with no
     gaps (base[s+1] = ends[s]), so the membership tests t >= 0 and
-    t < width[seg] hold by construction and are NOT re-checked — a
-    zero-width segment scatters its mark at the same slot as the next
-    nonzero segment and always loses the max.
+    t < width[seg] hold by construction and are NOT re-checked.
 
-    Cost discipline (v5e prof2 battery, 32M slots): each per-slot gather is
-    ~0.4-0.5 s while cumsums/compares are ~0.04 s, so the skeleton performs
-    exactly ONE block-table gather — A = lo - base, gathered once, gives
-    sa_idx = slot + A[seg] — where the naive form (base[seg], lo[seg],
-    w[seg], qpos[seg]) needed four. Query positions are recovered
-    arithmetically by callers as q_start + seg_c (expansion blocks are
-    always contiguous position ranges).
+    Cost discipline (v5e prof2/prof3 batteries, 32M slots): a scatter is
+    ~0.5 s, a per-slot gather 0.5-1.0 s, a cumsum 0.04 s. Both per-slot
+    values are therefore DELTA FILLS — scatter each segment's value delta
+    at its base slot and cumsum (duplicate bases telescope under add, so
+    zero-width segments cancel exactly; int32 wraparound in a delta also
+    cancels, the running sum always equals an in-range value). Two
+    scatter+cumsum pairs (~1.0 s) replace the round-1 scatter-max + cummax
+    + two block-table gathers (~2.5 s):
+
+      * segment id: delta +1 per segment  -> cnt fill - 1;
+      * SA index:   rel = lo - base       -> sa_idx = slot + rel fill.
+
+    Query positions are recovered arithmetically by callers as
+    q_start + seg_c (expansion blocks are always contiguous position
+    ranges).
     """
     w32 = width.astype(jnp.int32)
     ends = jnp.cumsum(w32)
     base = ends - w32
     nseg = w32.shape[0]
-    marks = jnp.zeros((capacity,), jnp.int32).at[
-        jnp.clip(base, max=capacity)].max(
-            jnp.arange(nseg, dtype=jnp.int32) + 1, mode="drop")
-    seg_c = jnp.clip(jax.lax.cummax(marks) - 1, 0, nseg - 1)
-    slot = jnp.arange(capacity, dtype=jnp.int32)
+    bidx = jnp.clip(base, max=capacity)               # capacity row drops
     rel = lo.astype(jnp.int32) - base                 # block-sized
-    sa_idx_raw = slot + rel[seg_c]                    # the one gather
+    drel = jnp.concatenate([rel[:1], rel[1:] - rel[:-1]])
+    cnt = jnp.zeros((capacity,), jnp.int32).at[bidx].add(1, mode="drop")
+    acc = jnp.zeros((capacity,), jnp.int32).at[bidx].add(drel, mode="drop")
+    seg_c = jnp.clip(jnp.cumsum(cnt) - 1, 0, nseg - 1)
+    slot = jnp.arange(capacity, dtype=jnp.int32)
+    sa_idx_raw = slot + jnp.cumsum(acc)
     in_range = slot < ends[nseg - 1]
     return seg_c, sa_idx_raw, in_range
 
