@@ -234,11 +234,82 @@ def chr1():
     t0 = time.perf_counter()
     m = find_seed_matches_sharded(index, qry, cfg, mesh)
     dt = time.perf_counter() - t0
-    print(json.dumps({"exp": "chr1", "first_s": first, "query_s": dt,
-                      "mbp_per_s": len(qry) / 1e6 / dt,
+    print(json.dumps({"exp": "chr1", "path": "sharded", "first_s": first,
+                      "query_s": dt, "mbp_per_s": len(qry) / 1e6 / dt,
                       "matches": int(m.length.size)}))
+    sys.stdout.flush()
+    from slamem_tpu.engine.seed_mode import find_seed_matches
+
+    t0 = time.perf_counter()
+    m2 = find_seed_matches(index, qry, cfg)
+    first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    m2 = find_seed_matches(index, qry, cfg)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"exp": "chr1", "path": "replicated", "first_s": first,
+                      "query_s": dt, "mbp_per_s": len(qry) / 1e6 / dt,
+                      "matches": int(m2.length.size), "stats": m2.stats,
+                      "equal_sharded": int(m.length.size) == int(m2.length.size)}))
 
 
+
+
+def wire():
+    """Tunnel transfer economics: RTT floor, fetch bandwidth, and the
+    headline fused-query wire cost (full packed fetch vs 1-element ground).
+
+    Decides whether shrinking the run-triple payload (3*run_cap+3 int32,
+    3.1 MB at the default 4M capacity) is the next headline lever."""
+    import jax
+    import jax.numpy as jnp
+
+    from slamem_tpu.config import Config
+    from slamem_tpu.engine import seed_mode
+    from slamem_tpu.index.build import build_index
+    from slamem_tpu.utils.synth import strain_pair
+
+    # fetch bandwidth ladder
+    for nbytes in (4, 1 << 12, 1 << 17, 1 << 20, 1 << 22, 1 << 24):
+        x = jnp.zeros((nbytes // 4,), jnp.int32) + 1
+        np.asarray(x[:1])  # materialize
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(x)
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({"exp": "wire", "fetch_bytes": nbytes, "s": best,
+                          "mb_per_s": nbytes / 1e6 / best}))
+        sys.stdout.flush()
+
+    # headline fused query: ground with 1-element fetch vs full wire
+    ref, qry = strain_pair(5_000_000, seed=20260816, sub_rate=0.015,
+                           indel_rate=0.0015)
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    cfg = Config(min_length=20)
+    qp = seed_mode.pad_query(qry)
+    qt = jnp.asarray(qp)
+    k = seed_mode.choose_seed_k(index.n, qp.shape[0], 20, 32)
+    refk, sa_aug = seed_mode.seed_table(index, k)
+    capacity = int(cfg.pair_capacity)
+    run_cap = max(4096, capacity // 16)
+    out = seed_mode.fused_query(index.text, refk, sa_aug, qt, k, capacity,
+                                run_cap, "sort")
+    np.asarray(out[4][:1])  # warm
+    n_runs = int(np.asarray(out[4][3 * run_cap]))
+    for label, fetch in (("ground_1elem", lambda o: np.asarray(o[4][:1])),
+                         ("full_wire", lambda o: np.asarray(o[4]))):
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = seed_mode.fused_query(index.text, refk, sa_aug, qt, k,
+                                        capacity, run_cap, "sort")
+            fetch(out)
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({"exp": "wire", "phase": label, "s": best,
+                          "wire_ints": 3 * run_cap + 3,
+                          "n_runs": n_runs}))
+        sys.stdout.flush()
 
 
 def prof2():

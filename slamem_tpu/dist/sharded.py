@@ -62,17 +62,25 @@ def shard_tables(index: FMIndex, k: int, mesh: Mesh):
     n = index.n
     slab = -(-n // ndev)
     pad = slab * ndev - n
-    # dtype-max padding sorts after every real row; padded rows carry the
-    # sign-bit invalid flag so expansion drops them. Matching dtype matters:
-    # a wider pad would silently promote the whole uint32 table.
-    sh = NamedSharding(mesh, P("q", None))
-    refk_sh = tuple(
-        jax.device_put(jnp.concatenate(
-            [w, jnp.full((pad,), jnp.iinfo(w.dtype).max, w.dtype)]
-        ).reshape(ndev, slab), sh) for w in refk_words)
-    sa_p = jnp.concatenate(
-        [sa_aug, jnp.full((pad,), np.int32(-0x80000000), jnp.int32)])
-    sa_sh = jax.device_put(sa_p.reshape(ndev, slab), sh)
+    if ndev == 1:
+        # chr1-scale single-chip rehearsal: the 1-slab view IS the cached
+        # table (no pad, no resharding) — the padded device_put below would
+        # hold a second multi-GB copy of refk + sa alongside the cache and
+        # OOM a 16 GB chip at 250 Mbp
+        refk_sh = tuple(w.reshape(1, -1) for w in refk_words)
+        sa_sh = sa_aug.reshape(1, -1)
+    else:
+        # dtype-max padding sorts after every real row; padded rows carry
+        # the sign-bit invalid flag so expansion drops them. Matching dtype
+        # matters: a wider pad would silently promote the whole uint32 table.
+        sh = NamedSharding(mesh, P("q", None))
+        refk_sh = tuple(
+            jax.device_put(jnp.concatenate(
+                [w, jnp.full((pad,), jnp.iinfo(w.dtype).max, w.dtype)]
+            ).reshape(ndev, slab), sh) for w in refk_words)
+        sa_p = jnp.concatenate(
+            [sa_aug, jnp.full((pad,), np.int32(-0x80000000), jnp.int32)])
+        sa_sh = jax.device_put(sa_p.reshape(ndev, slab), sh)
     # per-slab prefix-bucket tables: the slab frontend brackets each query
     # K-mer to its bucket and binary-searches only within it — ~log2(max
     # bucket) probes instead of log2(slab) (the chr1-scale frontend cost)
