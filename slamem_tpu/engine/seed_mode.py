@@ -131,16 +131,22 @@ def lex_searchsorted(words: tuple[jax.Array, ...],
     n = words[0].shape[0]
     probes = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
     m = qwords[0].shape[0]
-    lo = jnp.zeros((m,), jnp.int32)
-    hi = jnp.full((m,), n, jnp.int32)
     cmp = _lex_lt if side == "left" else _lex_le
-    for _ in range(probes):
+
+    def body(_, lh):
+        lo, hi = lh
         mid = (lo + hi) // 2
         v = tuple(w[jnp.clip(mid, 0, n - 1)] for w in words)
         go = cmp(v, qwords) & (lo < hi)
         lo = jnp.where(go, mid + 1, lo)
         hi = jnp.where(go | (lo >= hi), hi, mid)
-    return lo
+        return lo, hi
+
+    # fori_loop bounds the peak live set to one probe's gathers (see
+    # _bucket_intervals)
+    return jax.lax.fori_loop(
+        0, probes, body,
+        (jnp.zeros((m,), jnp.int32), jnp.full((m,), n, jnp.int32)))[0]
 
 
 _seed_table_cache: dict[tuple[int, int], tuple] = {}
@@ -275,16 +281,22 @@ def _bucket_intervals(refk, starts: jax.Array, qk,
     hi0 = starts[b + 1]
 
     def search(side_left):
-        lo = lo0
-        hi = hi0
         cmp = _lex_lt if side_left else _lex_le
-        for _ in range(probes):
+
+        # fori_loop, not a Python unroll: at chr scale each probe gathers
+        # len(words) m-sized buffers, and ~14 statically-unrolled probes x 2
+        # sides made the peak live set OOM a 250 Mbp + 50 Mbp frontend —
+        # the loop bounds liveness to one probe's temporaries
+        def body(_, lh):
+            lo, hi = lh
             mid = (lo + hi) // 2
             v = tuple(w[jnp.clip(mid, 0, n - 1)] for w in refk_w)
             go = cmp(v, qk_w) & (lo < hi)
             lo = jnp.where(go, mid + 1, lo)
             hi = jnp.where(go | (lo >= hi), hi, mid)
-        return lo
+            return lo, hi
+
+        return jax.lax.fori_loop(0, probes, body, (lo0, hi0))[0]
 
     left = search(True)
     right = search(False)
