@@ -220,10 +220,9 @@ def find_seed_matches_sharded(index: FMIndex, query_text: np.ndarray,
     bacterial-scale configs those modes serve (SURVEY.md §3.4), and the pair
     tables stay sharded until the single bounded fetch.
     """
-    qp = seed_mode.pad_query(query_text)
+    qp, qt = seed_mode.query_to_device(query_text)
     m = int(qp.shape[0])
     k = choose_seed_k(index.n, m, cfg.min_length, cfg.seed_length_cap)
-    qt = jnp.asarray(qp)
     refk_sh, sa_sh, starts_sh, shift, probes = shard_tables(index, k, mesh)
     lo_l, w_l, cum, summary = sharded_frontend(mesh, refk_sh, starts_sh,
                                                qt, k, shift, probes)

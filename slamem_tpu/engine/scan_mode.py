@@ -189,10 +189,11 @@ def find_scan_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     from slamem_tpu.engine import seed_mode
 
     L = cfg.min_length
-    qp = seed_mode.pad_query(query_text)  # N-padding: no spurious intervals
+    # N-padding: no spurious intervals; device copy memoized per query
+    qp, qt = seed_mode.query_to_device(query_text)
     m = int(qp.shape[0])
-    lo, width = scan_intervals(index, qp, L, rank_kernel=cfg.rank_kernel)
+    lo, width = scan_intervals(index, qt, L, rank_kernel=cfg.rank_kernel)
     # FM hits never touch specials: plain SA doubles as the all-valid
     # sign-augmented view (augment_sa with validity all-true)
     return seed_mode.pairs_to_matches(index, lo, width, L, m, cfg, mesh,
-                                      index.sa, qt=jnp.asarray(qp))
+                                      index.sa, qt=qt)
