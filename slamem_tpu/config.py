@@ -52,9 +52,10 @@ class Config:
     # scan-engine rank backend: "auto" = Pallas interleaved-row kernel on
     # TPU, XLA gather on CPU; "pallas"/"xla" force one (kernels/rank.py)
     rank_kernel: str = "auto"
-    # seed interval frontend: "auto" = bucket search when the table dwarfs
-    # the query batch (n > 2m), else combined-sort join; "join"/"bucket"
-    # force one (A/B tuning surface, engine/seed_mode.py)
+    # seed interval frontend: "auto" = bucket search only when the table
+    # dwarfs the query batch (measured crossover n > 64m — prefer_bucket,
+    # engine/seed_mode.py), else combined-sort join; "join"/"bucket" force
+    # one (A/B tuning surface)
     frontend: str = "auto"
     # MEM run extraction backend: "sort" radix-sorts (diag, qpos) pairs and
     # compacts runs on device (cheapest measured on v5e: a 2-column 32M

@@ -33,8 +33,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from slamem_tpu.config import Config
 from slamem_tpu.engine import seed_mode
 from slamem_tpu.engine.seed_mode import (
-    RunBatch, SeedMatches, _bucket_intervals, choose_seed_k,
-    packed_key_words, seed_table)
+    RunBatch, SeedMatches, _bucket_intervals, _join_intervals,
+    choose_seed_k, packed_key_words, prefer_bucket, seed_table)
 from slamem_tpu.index.build import FMIndex
 
 try:
@@ -145,6 +145,37 @@ def sharded_frontend(mesh: Mesh, refk_sh, starts_sh, qt: jax.Array, k: int,
     return fn(refk_sh, starts_sh, qt)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "k"))
+def sharded_frontend_join(mesh: Mesh, refk_sh, qt: jax.Array, k: int):
+    """sharded_frontend with the per-slab SORT JOIN instead of bucket probes.
+
+    Each slab is itself word-lexicographically sorted, so the combined-sort
+    join (_join_intervals) runs unchanged against the local slab and returns
+    slab-local interval bounds — the same contract as the bucket variant.
+    Cost per device is one (slab + m)-row sort (~2 ns/row-col on v5e)
+    instead of ~2*probes*words m-wide gathers (~16 ns each): at chr1 scale
+    (slab 250 Mbp single-chip rehearsal, m = 50 Mbp) that is ~2 s vs the
+    ~40 s the bucket probes measured (scripts/tpu_experiments.py prof2 +
+    /tmp/chr1c.log). Bucket only wins when the slab dwarfs the query batch
+    (prefer_bucket's measured crossover, per-slab n here).
+    """
+
+    def step(refk_l, qt):
+        refk_w = tuple(w[0] for w in refk_l)
+        qk_w, qvalid = packed_key_words(qt, k)
+        lo, w = _join_intervals(refk_w, qk_w, qvalid)
+        wmax = jax.lax.pmax(w, "q")
+        cum = jnp.cumsum(wmax.astype(jnp.int64))
+        summary = jnp.stack([cum[-1], jnp.max(wmax).astype(jnp.int64)])
+        return lo[None], w[None], cum, summary
+
+    fn = shard_map(step, mesh=mesh,
+                   in_specs=(P("q", None), P()),
+                   out_specs=(P("q", None), P("q", None), P(), P()),
+                   check_vma=False)
+    return fn(refk_sh, qt)
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "capacity", "block"))
 def sharded_expand(mesh: Mesh, sa_sh, lo_sh, w_sh, start, limit,
                    m_off, capacity: int, block: int):
@@ -224,8 +255,15 @@ def find_seed_matches_sharded(index: FMIndex, query_text: np.ndarray,
     m = int(qp.shape[0])
     k = choose_seed_k(index.n, m, cfg.min_length, cfg.seed_length_cap)
     refk_sh, sa_sh, starts_sh, shift, probes = shard_tables(index, k, mesh)
-    lo_l, w_l, cum, summary = sharded_frontend(mesh, refk_sh, starts_sh,
-                                               qt, k, shift, probes)
+    ndev_f = len(mesh.devices.flat)
+    slab = -(-index.n // ndev_f)
+    use_bucket = (cfg.frontend == "bucket"
+                  or (cfg.frontend == "auto" and prefer_bucket(slab, m)))
+    if use_bucket:
+        lo_l, w_l, cum, summary = sharded_frontend(mesh, refk_sh, starts_sh,
+                                                   qt, k, shift, probes)
+    else:
+        lo_l, w_l, cum, summary = sharded_frontend_join(mesh, refk_sh, qt, k)
 
     # plan rounds with the per-shard worst case so every shard fits capacity
     capacity = int(cfg.pair_capacity)

@@ -938,6 +938,22 @@ def choose_seed_k(n: int, m: int, min_length: int, cap: int) -> int:
     return k
 
 
+def prefer_bucket(n: int, m_p: int) -> bool:
+    """True when the bucket frontend beats the sort join (measured model).
+
+    v5e microbenchmarks (scripts/tpu_experiments.py prof2): a sort costs
+    ~2 ns per row-column while a 4-byte random gather costs ~16 ns. The
+    join re-sorts n + m rows of k_words+1 columns; the bucket search does
+    ~(2 + 2*probes*k_words) gathers per query position (probes ~ 12).
+    Equating the two puts the crossover at n ~ 100*m for one seed word and
+    ~130*m for two — the bucket frontend only wins when the reference
+    DWARFS the query batch (short serving queries against a chromosome).
+    Round 1 shipped n > 2*m, which at chr1 scale (n/m = 5) chose dozens of
+    250M-wide probe gathers over one cheap sort and ran 2.4x slower.
+    """
+    return n > 64 * m_p
+
+
 def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                       mesh=None) -> SeedMatches:
     """All maximal matches of length >= cfg.min_length (mode filters later).
@@ -956,7 +972,7 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     run_cap = max(4096, capacity // 16)
     skip_fused = _last_total(index, k) > capacity
     use_bucket = (cfg.frontend == "bucket"
-                  or (cfg.frontend == "auto" and index.n > 2 * m_p))
+                  or (cfg.frontend == "auto" and prefer_bucket(index.n, m_p)))
     if cfg.mode.value == "mem" and not skip_fused and (
             mesh is None or len(mesh.devices.flat) == 1):
         # optimistic single-dispatch fast path (overflow falls through);
@@ -1100,7 +1116,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
             stats={"pairs": total_pairs, "k": k, "rounds": rounds,
                    "bytes_min": roofline_bytes(
                        index.n, m, 2 if k > 16 else 1, total_pairs,
-                       bucket=index.n > 2 * m)})
+                       bucket=prefer_bucket(index.n, m))})
 
     if mesh is None or len(mesh.devices.flat) == 1:
         if use_boundary:
@@ -1257,7 +1273,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                          "rounds": len(blocks),
                          "bytes_min": roofline_bytes(
                              index.n, m, kw, total_pairs,
-                             bucket=index.n > 2 * m)}
+                             bucket=prefer_bucket(index.n, m))}
     return matches
 
 

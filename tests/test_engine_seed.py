@@ -150,11 +150,21 @@ def test_query_shorter_than_l():
 
 
 def test_bucket_frontend_large_ref():
-    # n > 2*m triggers the bucket frontend; parity vs oracle proves it
+    # forced bucket frontend (auto picks join below the measured n > 64m
+    # crossover, seed_mode.prefer_bucket); parity vs oracle proves it
     ref = random_genome(6000, seed=210)
     qry = mutate(ref, 0.02, 0.002, seed=211)[:1000]
-    check(ref, qry, Config(min_length=12))
-    check(with_n_runs(ref, 4, 50, seed=212), qry, Config(min_length=12))
+    check(ref, qry, Config(min_length=12, frontend="bucket"))
+    check(with_n_runs(ref, 4, 50, seed=212), qry,
+          Config(min_length=12, frontend="bucket"))
+
+
+def test_auto_frontend_crossover():
+    from slamem_tpu.engine.seed_mode import prefer_bucket
+
+    assert not prefer_bucket(5_000_000, 5_000_000)    # config #1: join
+    assert not prefer_bucket(250_000_000, 50_000_000)  # chr1 pair: join
+    assert prefer_bucket(250_000_000, 1_000_000)       # short serving query
 
 
 def test_bucket_vs_join_identical():

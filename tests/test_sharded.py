@@ -25,6 +25,19 @@ def test_sharded_equals_replicated():
     assert got == want and len(want) > 0
 
 
+def test_sharded_frontends_identical():
+    """Per-slab sort join == per-slab bucket probes == replicated path."""
+    ref = with_n_runs(random_genome(4000, seed=81), 2, 40, seed=82)
+    qry = with_n_runs(mutate(ref, 0.02, 0.002, seed=83), 2, 30, seed=84)
+    idx = build_index(ref)
+    mesh = make_mesh(8)
+    want = tuples(find_seed_matches(idx, qry, Config(min_length=14)))
+    for fe in ("join", "bucket"):
+        cfg = Config(min_length=14, pair_capacity=512, frontend=fe)
+        got = tuples(find_seed_matches_sharded(idx, qry, cfg, mesh))
+        assert got == want and len(want) > 0
+
+
 def test_sharded_run_across_slab_boundary():
     # an identical pair → one giant match whose SA rows spread over all slabs
     ref = random_genome(2000, seed=85)
