@@ -51,6 +51,31 @@ def headline():
                       "matches": int(m.length.size), "stats": m.stats}))
 
 
+def capab():
+    """Headline vs pair_capacity: how much of the fused dispatch scales
+    with the static buffer width (sort rows, boundary gathers, cumsums)
+    rather than the actual 3.8M pairs."""
+    import jax
+
+    from slamem_tpu.config import Config
+    from slamem_tpu.index.build import build_index
+    from slamem_tpu.utils.synth import strain_pair
+
+    ref, qry = strain_pair(5_000_000, seed=20260816, sub_rate=0.015,
+                           indel_rate=0.0015)
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    for cap in (1 << 23, 6 << 20, 1 << 22):
+        dt, m = _bench_query(index, qry,
+                             Config(min_length=20, pair_capacity=cap),
+                             repeats=3)
+        print(json.dumps({"exp": "capab", "capacity": cap,
+                          "mbp_per_s": len(qry) / 1e6 / dt, "query_s": dt,
+                          "matches": int(m.length.size),
+                          "pairs": m.stats["pairs"] if m.stats else None}))
+        sys.stdout.flush()
+
+
 def rank():
     import jax.numpy as jnp
 

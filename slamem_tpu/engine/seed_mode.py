@@ -153,26 +153,47 @@ _seed_table_cache: dict[tuple[int, int], tuple] = {}
 _last_total_cache: dict[tuple[int, int], tuple] = {}
 
 
-def _last_total(index: FMIndex, k: int) -> int:
-    """Last observed total pair count for (index, k); guarded by array
-    identity like the sibling caches (a recycled id() must not mis-steer
-    the fused-skip heuristic)."""
+def _last_total(index: FMIndex, k: int) -> tuple[int, int | None]:
+    """Last observed (pair count, run count) for (index, k); guarded by
+    array identity like the sibling caches (a recycled id() must not
+    mis-steer the fused-skip heuristic). runs is None when the last call
+    went through a path that never measured it."""
     hit = _last_total_cache.get((id(index.sa), k))
     if hit is not None and hit[0] is index.sa:
-        return hit[1]
-    return 0
+        return hit[1], hit[2]
+    return 0, None
 
 
-def _set_last_total(index: FMIndex, k: int, total: int) -> None:
+def _set_last_total(index: FMIndex, k: int, total: int,
+                    runs: int | None = None) -> None:
     if len(_last_total_cache) > 16:
         _last_total_cache.clear()
-    _last_total_cache[(id(index.sa), k)] = (index.sa, total)
+    _last_total_cache[(id(index.sa), k)] = (index.sa, total, runs)
 
 # fallback rounds may grow their buffers (amortizing dispatch overhead) only
 # when the configured capacity is at least this — deliberately small
 # capacities keep their semantics. Module-level so tests can exercise the
 # grown path at miniature scale.
 _GROWTH_MIN_CAPACITY = 1 << 22
+
+
+def capacity_bucket(total: int, floor_cap: int, ceil_cap: int) -> int:
+    """Smallest buffer bucket holding ``total`` pairs with ~3% headroom.
+
+    Buckets are 2^k and 3*2^(k-1) (1M, 1.5M, 2M, 3M, 4M, ...), clamped to
+    [floor_cap, ceil_cap]. Measured on v5e (scripts/tpu_experiments.py
+    capab): the fused dispatch pays ~35 ms per million buffer slots
+    regardless of the live pair count (sort rows, scatters, cumsums are all
+    capacity-wide), so the buffer should track the observed pair mass. The
+    bucket grid bounds the number of distinct compiled shapes; compiles are
+    persistent-cached.
+    """
+    need = total + max(total // 32, 1024)
+    cap = floor_cap
+    while cap < need and cap < ceil_cap:
+        # 2^k -> 3*2^(k-1) -> 2^(k+1) -> ...
+        cap = cap + (cap >> 1) if (cap & (cap - 1)) == 0 else (cap // 3) * 4
+    return min(cap, ceil_cap)
 
 
 def seed_table(index: FMIndex, k: int
@@ -968,9 +989,26 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     m_p = int(qp.shape[0])
     k = choose_seed_k(index.n, m_p, cfg.min_length, cfg.seed_length_cap)
     refk, sa_aug = seed_table(index, k)
-    capacity = int(cfg.pair_capacity)
+    cap_cfg = int(cfg.pair_capacity)
+    capacity = cap_cfg
+    last_pairs, last_runs = _last_total(index, k)
+    if last_pairs and cap_cfg >= _GROWTH_MIN_CAPACITY:
+        # Track the observed workload: snap the fused buffers to the
+        # smallest bucket holding last call's pair AND run counts (the run
+        # buffer is capacity // 16). Adapt only when both were measured —
+        # resizing on pairs alone can shrink the run buffer under the real
+        # run count (or blind-grow into a 32M dispatch that overflows it),
+        # wasting a full dispatch before the fallback. Deliberately small
+        # configured capacities keep their semantics (same guard as the
+        # fallback growth below); stale predictions are harmless (overflow
+        # falls through to the multi-round path).
+        if last_runs is not None:
+            capacity = capacity_bucket(
+                max(last_pairs, 16 * last_runs), 1 << 18,
+                max(cap_cfg, int(cfg.pair_capacity_max)))
     run_cap = max(4096, capacity // 16)
-    skip_fused = _last_total(index, k) > capacity
+    skip_fused = (last_pairs > capacity
+                  or (last_runs is not None and last_runs > run_cap))
     use_bucket = (cfg.frontend == "bucket"
                   or (cfg.frontend == "auto" and prefer_bucket(index.n, m_p)))
     if cfg.mode.value == "mem" and not skip_fused and (
@@ -990,7 +1028,6 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                 run_cap, backend)
         wire = np.asarray(packed)  # the one round trip
         total, max_w = int(wire[-2]), int(wire[-1])
-        _set_last_total(index, k, total)
 
         def _fused_result(runs_obj):
             length = runs_obj.qend - runs_obj.qstart + k
@@ -1004,8 +1041,12 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                            bucket=use_bucket)})
 
         fits = total <= min(capacity, np.iinfo(np.int32).max - 1)
+        # run counts in the wire are exact only when the pair buffer held
+        # the full expansion; a truncated round must not poison the
+        # adaptive-capacity prediction
         if backend == "boundary":
             ns, ne = int(wire[-4]), int(wire[-3])
+            _set_last_total(index, k, total, max(ns, ne) if fits else None)
             if fits and max(ns, ne) <= run_cap:
                 bb = BoundaryBatch()
                 bb.add(wire[:run_cap], wire[run_cap:2 * run_cap],
@@ -1014,6 +1055,7 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                 return _fused_result(bb.runs(m_p + 1))
         else:
             n_runs = int(wire[-3])
+            _set_last_total(index, k, total, n_runs if fits else None)
             if fits and n_runs <= run_cap:
                 return _fused_result(runs_from_compacted32(
                     wire[:run_cap], wire[run_cap:2 * run_cap],

@@ -187,6 +187,44 @@ def test_bucket_vs_join_identical():
     assert np.array_equal(np.asarray(lo_j)[sel], np.asarray(lo_b)[sel])
 
 
+def test_capacity_bucket_grid():
+    from slamem_tpu.engine.seed_mode import capacity_bucket
+
+    lo, hi = 1 << 18, 1 << 25
+    assert capacity_bucket(0, lo, hi) == lo
+    # ~3% headroom pushes an exact-floor total to the next bucket (3*2^17)
+    assert capacity_bucket(1 << 18, lo, hi) == 3 << 17
+    # the measured headline workload (3.84M pairs) lands on 4M
+    assert capacity_bucket(3_835_050, lo, hi) == 1 << 22
+    assert capacity_bucket(5_000_000, lo, hi) == 3 << 21
+    assert capacity_bucket(1 << 30, lo, hi) == hi  # ceiling clamp
+
+
+def test_adaptive_capacity_tracks_pair_mass(monkeypatch):
+    """A repeat query on the same index snaps the fused buffers to the
+    observed (pairs, runs) bucket and returns identical matches."""
+    from slamem_tpu.engine import seed_mode
+
+    monkeypatch.setattr(seed_mode, "_GROWTH_MIN_CAPACITY", 64)
+    seed_mode._last_total_cache.clear()
+    picked = []
+    orig = seed_mode.capacity_bucket
+    monkeypatch.setattr(
+        seed_mode, "capacity_bucket",
+        lambda *a: picked.append(orig(*a)) or picked[-1])
+    ref = random_genome(3000, seed=233)
+    qry = mutate(ref, 0.01, 0.001, seed=234)
+    cfg = Config(min_length=12, pair_capacity=1 << 14,
+                 pair_capacity_max=1 << 15)
+    index = build_index(np.asarray(ref, np.uint8), occ_block=32)
+    first = engine_tuples(index, np.asarray(qry, np.uint8), cfg)
+    assert not picked  # no prediction available on the first call
+    second = engine_tuples(index, np.asarray(qry, np.uint8), cfg)
+    assert second == first
+    assert picked  # repeat call resized from the recorded workload
+    assert all(p <= 1 << 15 for p in picked)  # ceiling respected
+
+
 def test_adaptive_capacity_growth(monkeypatch):
     """The grown-buffer fallback path must be exact (miniature rehearsal)."""
     from slamem_tpu.engine import seed_mode
