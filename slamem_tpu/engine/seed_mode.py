@@ -1189,6 +1189,13 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                 else:
                     _fallback_host_flags(start, end)
             total_pairs = int(summary[0]) if summary is not None else -1
+            if summary is not None and pending:
+                # per-round counts are exact scalars even when a round's
+                # arrays overflowed; their sum upper-bounds the single-
+                # dispatch count (boundary-spanning runs count twice), so a
+                # repeat call can size a fused buffer that will fit
+                _set_last_total(index, k, total_pairs,
+                                max(int(ns_a.sum()), int(ne_a.sum())))
             return _mem_result(total_pairs, len(blocks))
         elif not want_pairs:
             # legacy run-triple path (no query codes available)
@@ -1205,6 +1212,10 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                     np.asarray(stacked[0]), np.asarray(stacked[1]),
                     np.asarray(stacked[2]))
                 n_runs_all = np.asarray(stacked[3])
+            if summary is not None and pending:
+                # same run-count upper bound as the boundary branch above
+                _set_last_total(index, k, int(summary[0]),
+                                int(n_runs_all.sum()))
             for r, (start, end) in enumerate(blocks):
                 n_runs = int(n_runs_all[r])
                 if n_runs <= run_cap:
