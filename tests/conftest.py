@@ -17,3 +17,6 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# SURVEY.md §5 race-detection analogue: the engine is integer-only, so any
+# NaN appearing anywhere is a logic bug — make it fail loudly in CI.
+jax.config.update("jax_debug_nans", True)
