@@ -13,6 +13,7 @@ lines. Usage: python scripts/tpu_experiments.py <name>
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -73,6 +74,45 @@ def capab():
                           "mbp_per_s": len(qry) / 1e6 / dt, "query_s": dt,
                           "matches": int(m.length.size),
                           "pairs": m.stats["pairs"] if m.stats else None}))
+        sys.stdout.flush()
+
+
+def sortshape():
+    """Does partitioning a big 2-col sort into key-range slabs pay?
+
+    Bitonic work per element is ~log^2(rows); a (B, rows/B) batched sort
+    should cut the depth if XLA maps it well. Times flat vs batched shapes
+    at the chr21 join size (80M rows), plus the query-only size (40M)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    n = 1 << 26  # 67M ~ chr21 join scale
+
+    @functools.cache
+    def _sorter(shape):
+        def f(a, b):
+            sa, sb = jax.lax.sort((a, b), dimension=-1, num_keys=2)
+            return sa[..., -1], sb[..., -1]
+        return jax.jit(f)
+
+    a = jax.random.randint(key, (n,), 0, 1 << 30, jnp.int32)
+    b = jnp.arange(n, dtype=jnp.int32)
+    for shape in ((n,), (n // 2,), (16, n // 16), (64, n // 64),
+                  (256, n // 256)):
+        rows = shape[-1]
+        av = a[:np.prod(shape)].reshape(shape)
+        bv = b[:np.prod(shape)].reshape(shape)
+        f = _sorter(shape)
+        np.asarray(f(av, bv)[0])  # compile
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f(av, bv)[0])
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({"exp": "sortshape", "shape": list(shape),
+                          "rows": int(np.prod(shape)), "s": best,
+                          "ns_per_row_col": best / np.prod(shape) / 2 * 1e9}))
         sys.stdout.flush()
 
 
