@@ -37,6 +37,8 @@ Options:
   -engine <e>   query engine: seed (default) or scan
   -shard        shard the index by SA-rank range over all devices
                 (chr1-scale references; BASELINE config #5)
+  -sparse <s>   sparse seeding: auto (default) or off (A/B surface;
+                engine/seed_mode.py choose_stride)
   -v            verbose progress/statistics
 """
 
@@ -50,6 +52,7 @@ def parse_args(argv: list[str]) -> tuple[Config, str, list[str], dict]:
     plot = None
     engine = "seed"
     shard = False
+    sparse = "auto"
     verbose = False
     extras: dict = {"save_index": None, "load_index": None}
     paths: list[str] = []
@@ -99,6 +102,11 @@ def parse_args(argv: list[str]) -> tuple[Config, str, list[str], dict]:
             engine = argv[i]
         elif a == "-shard":
             shard = True
+        elif a == "-sparse":
+            i += 1
+            if i >= len(argv) or argv[i] not in ("auto", "off"):
+                raise CliError("-sparse requires 'auto' or 'off'")
+            sparse = argv[i]
         elif a in ("-v", "--verbose"):
             verbose = True
         elif a in ("-h", "--help"):
@@ -113,7 +121,7 @@ def parse_args(argv: list[str]) -> tuple[Config, str, list[str], dict]:
     try:
         cfg = Config(mode=mode, min_length=min_length, out_path=out_path,
                      both_strands=both, dotplot_path=plot, engine=engine,
-                     shard_index=shard, verbose=verbose)
+                     shard_index=shard, sparse_seeds=sparse, verbose=verbose)
     except ValueError as e:
         raise CliError(str(e))
     return cfg, paths[0], paths[1:], extras

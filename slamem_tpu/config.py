@@ -65,6 +65,13 @@ class Config:
     # partitioning can never fragment a run). Both are exact and
     # parity-tested; engine/seed_mode.py.
     match_backend: str = "sort"
+    # Sparse seeding (MEM mode): sample query seed positions at stride
+    # S = min(16, K, L - K + 1) and recover exact match boundaries with a
+    # packed-word endpoint extension. Exact for MEMs >= L (proof in
+    # engine/seed_mode.py choose_stride) and cuts the candidate-pair axis
+    # and the join's query rows by ~S. "auto" = on whenever S >= 2 on the
+    # single-device MEM path; "off" forces dense seeding (A/B surface).
+    sparse_seeds: str = "auto"
     verbose: bool = False
 
     # --- distribution (SURVEY §2 "new first-class components") ---

@@ -99,7 +99,8 @@ def run_engine(ref_set: FastaSet, query_set: FastaSet, cfg: Config,
         # roofline fields (SURVEY.md §5: achieved GB/s IS the project metric)
         if m.stats:
             rec.update(pairs=m.stats["pairs"], rounds=m.stats["rounds"],
-                       seed_k=m.stats["k"], bytes=m.stats["bytes_min"])
+                       seed_k=m.stats["k"], bytes=m.stats["bytes_min"],
+                       stride=m.stats.get("stride", 1))
 
     def _run_queries() -> None:
         nonlocal qbp

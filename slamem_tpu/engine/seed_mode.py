@@ -153,22 +153,23 @@ _seed_table_cache: dict[tuple[int, int], tuple] = {}
 _last_total_cache: dict[tuple[int, int], tuple] = {}
 
 
-def _last_total(index: FMIndex, k: int) -> tuple[int, int | None]:
-    """Last observed (pair count, run count) for (index, k); guarded by
-    array identity like the sibling caches (a recycled id() must not
-    mis-steer the fused-skip heuristic). runs is None when the last call
-    went through a path that never measured it."""
-    hit = _last_total_cache.get((id(index.sa), k))
+def _last_total(index: FMIndex, k: int, stride: int = 1
+                ) -> tuple[int, int | None]:
+    """Last observed (pair count, run count) for (index, k, stride);
+    guarded by array identity like the sibling caches (a recycled id() must
+    not mis-steer the fused-skip heuristic). runs is None when the last
+    call went through a path that never measured it."""
+    hit = _last_total_cache.get((id(index.sa), k, stride))
     if hit is not None and hit[0] is index.sa:
         return hit[1], hit[2]
     return 0, None
 
 
 def _set_last_total(index: FMIndex, k: int, total: int,
-                    runs: int | None = None) -> None:
+                    runs: int | None = None, stride: int = 1) -> None:
     if len(_last_total_cache) > 16:
         _last_total_cache.clear()
-    _last_total_cache[(id(index.sa), k)] = (index.sa, total, runs)
+    _last_total_cache[(id(index.sa), k, stride)] = (index.sa, total, runs)
 
 # fallback rounds may grow their buffers (amortizing dispatch overhead) only
 # when the configured capacity is at least this — deliberately small
@@ -333,6 +334,150 @@ def augment_sa(sa: jax.Array, rowvalid: jax.Array) -> jax.Array:
     return jnp.where(rowvalid, sa, sa | jnp.int32(np.int32(-0x80000000)))
 
 
+# ---------------------------------------------------------------------------
+# Sparse seeding: stride-S query sampling + packed-word endpoint extension
+# ---------------------------------------------------------------------------
+
+def choose_stride(k: int, min_length: int) -> int:
+    """Query-seed sampling stride S = min(16, K, L-K+1) — exact for MEMs.
+
+    Seeding only query positions p ≡ 0 (mod S) is exact for MEM mode:
+
+      * coverage: a match of length l >= L contains >= 1 aligned window,
+        because the window-start range [s, s+l-K] has length l-K+1 >= S;
+      * contiguity: S <= K makes consecutive aligned windows overlap or
+        abut, so a run of consecutive sample indices on one diagonal
+        certifies one contiguous match covering [si_s*S, si_e*S + K);
+      * 1:1 runs<->MEMs: the aligned window one stride beyond either run
+        end straddles the flanking mismatch/special (it starts <= that
+        boundary and ends past it since S <= K), so it always fails — a
+        run can neither merge two MEMs nor split one;
+      * bounded extension: if S chars beyond a run end matched, the next
+        aligned window would be in the run — so the true boundary lies
+        < S <= 16 chars out, recoverable from ONE packed-word compare per
+        side (_extend_core).
+
+    The pair tables shrink ~S-fold and the sort-join's query rows m -> m/S;
+    the reference has no counterpart (slaMEM walks every position
+    sequentially) — this is the batched analogue of sparseMEM-style
+    sampling, applied query-side.
+    """
+    return max(1, min(16, k, min_length - k + 1))
+
+
+@jax.jit
+def ext_arrays(text: jax.Array):
+    """Endpoint-extension tables for one code text: (fx, fxl, lvl, lvr).
+
+    fx[i]  packs chars [i, i+16)  base-4, char i   most significant;
+    fxl[i] packs chars [i-16, i)  base-4, char i-16 most significant;
+    both length n+1, out-of-range chars 0, specials packed as (code & 3) —
+    NOT truncated like packed_key_words (truncation would corrupt exactly
+    the digits extension reads). False matches through a special/edge are
+    impossible because every extension is clamped by the distance-to-
+    special arrays: lvr[i] = ordinary chars starting at i, lvl[i] =
+    ordinary chars immediately left of i (both capped at 16; text start,
+    end, N and separators all count as special).
+    """
+    n = text.shape[0]
+    pos = jnp.arange(n + 1, dtype=jnp.int32)
+    base = (text & jnp.uint8(3)).astype(jnp.uint32)
+    pad_r = jnp.concatenate([base, jnp.zeros((16,), jnp.uint32)])
+    pad_l = jnp.concatenate([jnp.zeros((16,), jnp.uint32), base])
+    fx = jnp.zeros((n + 1,), jnp.uint32)
+    fxl = jnp.zeros((n + 1,), jnp.uint32)
+    for t in range(16):
+        fx = fx * 4 + pad_r[t:t + n + 1]
+        fxl = fxl * 4 + pad_l[t:t + n + 1]
+    spec = text >= CODE_N
+    special_at = jnp.where(spec, pos[:n], n)
+    nxt = jax.lax.cummin(special_at, reverse=True)
+    nxt1 = jnp.concatenate([nxt, jnp.full((1,), n, jnp.int32)])
+    lvr = jnp.clip(nxt1 - pos, 0, 16).astype(jnp.uint8)
+    prev = jax.lax.cummax(jnp.where(spec, pos[:n], -1))
+    prev1 = jnp.concatenate([jnp.full((1,), -1, jnp.int32), prev])
+    lvl = jnp.clip(pos - 1 - prev1, 0, 16).astype(jnp.uint8)
+    return fx, fxl, lvl, lvr
+
+
+_ext_cache: dict[int, tuple] = {}
+
+
+def ext_table(index: FMIndex):
+    """ext_arrays(index.text), cached per index like seed_table."""
+    key = id(index.sa)
+    hit = _ext_cache.get(key)
+    if hit is not None and hit[0] is index.sa:
+        return hit[1]
+    arrs = ext_arrays(index.text)
+    if len(_ext_cache) > 4:
+        _ext_cache.clear()
+    _ext_cache[key] = (index.sa, arrs)
+    return arrs
+
+
+def _ctz_digits(x: jax.Array) -> jax.Array:
+    """Trailing zero base-4 digits of a uint32 (16 for x == 0)."""
+    tz = jax.lax.population_count(~x & (x - jnp.uint32(1)))
+    return (tz >> 1).astype(jnp.int32)
+
+
+def _clz_digits(x: jax.Array) -> jax.Array:
+    """Leading zero base-4 digits of a uint32 (16 for x == 0)."""
+    y = x
+    y = y | (y >> 1)
+    y = y | (y >> 2)
+    y = y | (y >> 4)
+    y = y | (y >> 8)
+    y = y | (y >> 16)
+    clz = jnp.uint32(32) - jax.lax.population_count(y)
+    return (clz >> 1).astype(jnp.int32)
+
+
+def _extend_core(diag, qs_s, qe_s, n_runs, ext_r, ext_q,
+                 stride: int, k: int):
+    """Extend certified run cores to exact match boundaries.
+
+    Inputs are run triples with TRUE diagonal (refpos - qpos) and sample-
+    space qstart/qend; only slots < n_runs are meaningful. Each side is one
+    gathered packed-word compare: matching trailing digits of the windows
+    ending at the start boundary (left), matching leading digits of the
+    windows starting at the end boundary (right), clamped by the distance-
+    to-special arrays. choose_stride's argument bounds the true extension
+    by S-1 <= 15, so one 16-char word per side always suffices.
+
+    Returns position-space (qstart', qend') with the dense-run convention
+    length = K + qend' - qstart' (i.e. qend' = qe_s*S + extR).
+    """
+    fxr, fxlr, lvlr, lvrr = ext_r
+    fxq, fxlq, lvlq, lvrq = ext_q
+    n = fxr.shape[0] - 1
+    m = fxq.shape[0] - 1
+    valid = jnp.arange(diag.shape[0], dtype=jnp.int32) < n_runs
+    qs = qs_s * jnp.int32(stride)
+    qe_b = qe_s * jnp.int32(stride) + jnp.int32(k)   # exclusive core end
+    rs = jnp.clip(qs + diag, 0, n)
+    rb = jnp.clip(qe_b + diag, 0, n)
+    qsc = jnp.clip(qs, 0, m)
+    qbc = jnp.clip(qe_b, 0, m)
+    dl = _ctz_digits(fxlq[qsc] ^ fxlr[rs])
+    ext_l = jnp.minimum(jnp.minimum(dl, lvlq[qsc].astype(jnp.int32)),
+                        lvlr[rs].astype(jnp.int32))
+    dr = _clz_digits(fxq[qbc] ^ fxr[rb])
+    ext_r_ = jnp.minimum(jnp.minimum(dr, lvrq[qbc].astype(jnp.int32)),
+                         lvrr[rb].astype(jnp.int32))
+    qstart = jnp.where(valid, qs - ext_l, -1)
+    qend = jnp.where(valid, qe_s * jnp.int32(stride) + ext_r_, -1)
+    return qstart, qend
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "k"))
+def extend_runs(diag, qs_s, qe_s, n_runs, ext_r, ext_q, stride: int, k: int):
+    """Standalone extension dispatch for the multi-round sparse path:
+    host-merged sample-space runs in, position-space boundaries out."""
+    return _extend_core(diag, qs_s, qe_s, n_runs, ext_r, ext_q, stride, k)
+
+
 def _expand_seg(lo: jax.Array, width: jax.Array, capacity: int):
     """Shared ragged-expansion skeleton: per-slot segment id + SA index.
 
@@ -376,7 +521,8 @@ def _expand_seg(lo: jax.Array, width: jax.Array, capacity: int):
 
 def _expand_pairs_core(sa_aug: jax.Array, lo: jax.Array,
                        width: jax.Array, q_start, m_off: jax.Array,
-                       capacity: int) -> tuple[jax.Array, jax.Array]:
+                       capacity: int, stride: int = 1
+                       ) -> tuple[jax.Array, jax.Array]:
     """Ragged expansion + lexicographic sort, all in int32.
 
     Returns (diag_sorted, qpos_sorted): candidate pairs as
@@ -397,33 +543,45 @@ def _expand_pairs_core(sa_aug: jax.Array, lo: jax.Array,
     refpos = refpos_f & jnp.int32(0x7FFFFFFF)
     qp = jnp.asarray(q_start, jnp.int32) + seg_c
     ok = in_range & (refpos_f >= 0)
-    d = jnp.where(ok, refpos - qp + m_off.astype(jnp.int32), _I32MAX)
+    # sparse seeding: segments are SAMPLE indices; the diagonal uses the
+    # true query position qp*stride while the sort's q column keeps the
+    # sample index, so run compaction's qpos+1 adjacency test detects
+    # consecutive SAMPLES (choose_stride's contiguity argument)
+    qpos = qp * jnp.int32(stride) if stride != 1 else qp
+    d = jnp.where(ok, refpos - qpos + m_off.astype(jnp.int32), _I32MAX)
     q = jnp.where(ok, qp, _I32MAX)
     d_s, q_s = jax.lax.sort((d, q), dimension=0, num_keys=2)
     return d_s, q_s
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def query_frontend(refk, qt: jax.Array, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "stride"))
+def query_frontend(refk, qt: jax.Array, k: int, stride: int = 1):
     """Fused packing + sorted search + planning stats: one dispatch.
 
     Also returns the device-resident width cumsum and a tiny summary
     (total pairs, max width) so round planning needs only scalar fetches —
     shipping the full width array to the host costs tens of MB per query on
-    tunneled backends.
+    tunneled backends. stride > 1: intervals for SAMPLE positions only.
     """
     qk_w, qvalid = packed_key_words(qt, k)
+    if stride != 1:
+        qk_w = tuple(w[::stride] for w in qk_w)
+        qvalid = qvalid[::stride]
     lo, width = _join_intervals(refk, qk_w, qvalid)
     cum = jnp.cumsum(width.astype(jnp.int64))
     summary = jnp.stack([cum[-1], jnp.max(width).astype(jnp.int64)])
     return lo, width, cum, summary
 
 
-@functools.partial(jax.jit, static_argnames=("k", "shift", "probes"))
+@functools.partial(jax.jit, static_argnames=("k", "shift", "probes",
+                                             "stride"))
 def query_frontend_bucket(refk, starts, qt: jax.Array, k: int, shift: int,
-                          probes: int):
+                          probes: int, stride: int = 1):
     """query_frontend with the bucket search instead of the sort join."""
     qk_w, qvalid = packed_key_words(qt, k)
+    if stride != 1:
+        qk_w = tuple(w[::stride] for w in qk_w)
+        qvalid = qvalid[::stride]
     lo, width = _bucket_intervals(refk, starts, qk_w, qvalid, shift, probes)
     cum = jnp.cumsum(width.astype(jnp.int64))
     summary = jnp.stack([cum[-1], jnp.max(width).astype(jnp.int64)])
@@ -678,26 +836,34 @@ def _compact_pair_runs(d_s, q_s, run_capacity: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("capacity", "run_capacity", "block"))
+                   static_argnames=("capacity", "run_capacity", "block",
+                                    "stride"))
 def expand_block_to_runs(sa_aug, lo_full, w_full, start, limit,
                          m_off, capacity: int, run_capacity: int,
-                         block: int):
+                         block: int, stride: int = 1):
     """Fixed-shape MEM fast path, int32 end to end: expansion, pair sort and
     run compaction without one 64-bit value; only run boundaries (3 int32
-    arrays of run_capacity) leave the device."""
+    arrays of run_capacity) leave the device. With stride > 1 the block
+    covers SAMPLE positions and the emitted triples are sample-space
+    (extension happens once, after the host merges round fragments)."""
     lo, w, q_start = _block_slices(lo_full, w_full, start, limit, block)
-    d_s, q_s = _expand_pairs_core(sa_aug, lo, w, q_start, m_off, capacity)
+    d_s, q_s = _expand_pairs_core(sa_aug, lo, w, q_start, m_off, capacity,
+                                  stride)
     return _compact_pair_runs(d_s, q_s, run_capacity)
 
 
 def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
-                run_capacity: int, backend: str):
+                run_capacity: int, backend: str, stride: int = 1,
+                ext_r=None):
     """Shared fused-query tail: expansion + run extraction, ONE int32 wire.
 
     backend "sort": run triples (3 x run_capacity) + [n_runs, total, max_w];
     backend "boundary": start/end events (4 x run_capacity) +
     [n_starts, n_ends, total, max_w]. The exact int64 cum/summary stay
-    device-resident for the overflow path.
+    device-resident for the overflow path. With stride > 1 (sparse
+    seeding, sort backend only) run cores are extended to exact boundaries
+    in the same dispatch — the wire format is unchanged and already
+    position-space.
     """
     cum = jnp.cumsum(width.astype(jnp.int64))
     summary = jnp.stack([cum[-1], jnp.max(width).astype(jnp.int64)])
@@ -706,6 +872,7 @@ def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
     clipped = jnp.stack([jnp.minimum(summary[0], i32max).astype(jnp.int32),
                          jnp.minimum(summary[1], i32max).astype(jnp.int32)])
     if backend == "boundary":
+        assert stride == 1, "boundary backend is dense-only"
         sd, sq, ed, eq, ns, ne, _np_ = _expand_flags_core(
             text, qt, sa_aug, lo, width, jnp.int32(0), m_off, k, capacity,
             run_capacity)
@@ -713,9 +880,16 @@ def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
                                   jnp.stack([ns, ne]), clipped])
     else:
         d_s, q_s = _expand_pairs_core(sa_aug, lo, width, jnp.int32(0),
-                                      m_off, capacity)
+                                      m_off, capacity, stride)
         run_d, run_qs, run_qe, n_runs, _n_pairs = _compact_pair_runs(
             d_s, q_s, run_capacity)
+        if stride != 1:
+            ext_q = ext_arrays(qt)
+            run_qs, run_qe = _extend_core(
+                run_d - m_off, run_qs, run_qe, n_runs, ext_r, ext_q,
+                stride, k)
+            # re-encode with the wire's m_off convention: qstart rides the
+            # diag column's slot, so only the q columns changed
         packed = jnp.concatenate([run_d, run_qs, run_qe,
                                   jnp.stack([n_runs.astype(jnp.int32)]),
                                   clipped])
@@ -724,9 +898,10 @@ def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "capacity", "run_capacity",
-                                    "backend"))
+                                    "backend", "stride"))
 def fused_query(text, refk, sa_aug, qt, k: int, capacity: int,
-                run_capacity: int, backend: str = "sort"):
+                run_capacity: int, backend: str = "sort", stride: int = 1,
+                ext_r=None):
     """Whole MEM query in ONE dispatch for the common single-round case.
 
     Packs K-mers, joins intervals, expands and extracts runs optimistically
@@ -734,35 +909,45 @@ def fused_query(text, refk, sa_aug, qt, k: int, capacity: int,
     total pairs <= capacity and runs/boundaries fit run_capacity, only the
     run payload — two round trips for the entire query. On overflow the
     returned (lo, width, cum, summary) device arrays feed the planned
-    multi-round path with no recomputation.
+    multi-round path with no recomputation. stride > 1 = sparse seeding
+    (sampled query rows into the join, inline endpoint extension).
     """
     qk_w, qvalid = packed_key_words(qt, k)
+    if stride != 1:
+        qk_w = tuple(w[::stride] for w in qk_w)
+        qvalid = qvalid[::stride]
     lo, width = _join_intervals(refk, qk_w, qvalid)
     return _fused_tail(text, qt, lo, width, sa_aug, qt.shape[0], k,
-                       capacity, run_capacity, backend)
+                       capacity, run_capacity, backend, stride, ext_r)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "capacity", "run_capacity", "shift",
-                                    "probes", "backend"))
+                                    "probes", "backend", "stride"))
 def fused_query_bucket(text, refk, starts, sa_aug, qt, k: int,
                        capacity: int, run_capacity: int, shift: int,
-                       probes: int, backend: str = "sort"):
+                       probes: int, backend: str = "sort", stride: int = 1,
+                       ext_r=None):
     """fused_query with the bucket frontend — for references much larger
     than the query batch, where the join would re-sort n + m entries."""
     qk_w, qvalid = packed_key_words(qt, k)
+    if stride != 1:
+        qk_w = tuple(w[::stride] for w in qk_w)
+        qvalid = qvalid[::stride]
     lo, width = _bucket_intervals(refk, starts, qk_w, qvalid, shift, probes)
     return _fused_tail(text, qt, lo, width, sa_aug, qt.shape[0], k,
-                       capacity, run_capacity, backend)
+                       capacity, run_capacity, backend, stride, ext_r)
 
 
-@functools.partial(jax.jit, static_argnames=("capacity", "block"))
+@functools.partial(jax.jit, static_argnames=("capacity", "block", "stride"))
 def expand_block_pairs(sa_aug, lo_full, w_full, start, limit,
-                       m_off, capacity: int, block: int):
+                       m_off, capacity: int, block: int, stride: int = 1):
     """Fixed-shape expansion returning sorted int32 (diag', qpos) pairs —
-    the overflow / MUM/MAM path (per-pair data must reach the host)."""
+    the overflow / MUM/MAM path (per-pair data must reach the host).
+    stride > 1: q column carries sample indices (sparse run overflow)."""
     lo, w, q_start = _block_slices(lo_full, w_full, start, limit, block)
-    return _expand_pairs_core(sa_aug, lo, w, q_start, m_off, capacity)
+    return _expand_pairs_core(sa_aug, lo, w, q_start, m_off, capacity,
+                              stride)
 
 
 # ---------------------------------------------------------------------------
@@ -989,9 +1174,17 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     m_p = int(qp.shape[0])
     k = choose_seed_k(index.n, m_p, cfg.min_length, cfg.seed_length_cap)
     refk, sa_aug = seed_table(index, k)
+    # sparse seeding: MEM-only (MUM/MAM occurrence counts need dense pair
+    # tables) and single-device for now (the mesh expanders are dense)
+    stride = 1
+    if (cfg.mode.value == "mem" and cfg.sparse_seeds != "off"
+            and (mesh is None or len(mesh.devices.flat) == 1)
+            and cfg.match_backend == "sort"):
+        stride = choose_stride(k, cfg.min_length)
+    ext_r = ext_table(index) if stride != 1 else None
     cap_cfg = int(cfg.pair_capacity)
     capacity = cap_cfg
-    last_pairs, last_runs = _last_total(index, k)
+    last_pairs, last_runs = _last_total(index, k, stride)
     if last_pairs and cap_cfg >= _GROWTH_MIN_CAPACITY:
         # Track the observed workload: snap the fused buffers to the
         # smallest bucket holding last call's pair AND run counts (the run
@@ -1010,7 +1203,8 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     skip_fused = (last_pairs > capacity
                   or (last_runs is not None and last_runs > run_cap))
     use_bucket = (cfg.frontend == "bucket"
-                  or (cfg.frontend == "auto" and prefer_bucket(index.n, m_p)))
+                  or (cfg.frontend == "auto"
+                      and prefer_bucket(index.n, m_p // stride)))
     if cfg.mode.value == "mem" and not skip_fused and (
             mesh is None or len(mesh.devices.flat) == 1):
         # optimistic single-dispatch fast path (overflow falls through);
@@ -1021,11 +1215,11 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
             starts, shift, probes = bucket_table(index, k)
             lo, width, cum, summary, packed = fused_query_bucket(
                 index.text, refk, starts, sa_aug, qt, k,
-                capacity, run_cap, shift, probes, backend)
+                capacity, run_cap, shift, probes, backend, stride, ext_r)
         else:
             lo, width, cum, summary, packed = fused_query(
                 index.text, refk, sa_aug, qt, k, capacity,
-                run_cap, backend)
+                run_cap, backend, stride, ext_r)
         wire = np.asarray(packed)  # the one round trip
         total, max_w = int(wire[-2]), int(wire[-1])
 
@@ -1036,6 +1230,7 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                 refpos=(runs_obj.diag + runs_obj.qstart)[keep],
                 qpos=runs_obj.qstart[keep], length=length[keep],
                 stats={"pairs": total, "k": k, "rounds": 1,
+                       "stride": stride,
                        "bytes_min": roofline_bytes(
                            index.n, m_p, len(refk), total,
                            bucket=use_bucket)})
@@ -1046,7 +1241,8 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
         # adaptive-capacity prediction
         if backend == "boundary":
             ns, ne = int(wire[-4]), int(wire[-3])
-            _set_last_total(index, k, total, max(ns, ne) if fits else None)
+            _set_last_total(index, k, total, max(ns, ne) if fits else None,
+                            stride)
             if fits and max(ns, ne) <= run_cap:
                 bb = BoundaryBatch()
                 bb.add(wire[:run_cap], wire[run_cap:2 * run_cap],
@@ -1055,31 +1251,35 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                 return _fused_result(bb.runs(m_p + 1))
         else:
             n_runs = int(wire[-3])
-            _set_last_total(index, k, total, n_runs if fits else None)
+            _set_last_total(index, k, total, n_runs if fits else None,
+                            stride)
             if fits and n_runs <= run_cap:
                 return _fused_result(runs_from_compacted32(
                     wire[:run_cap], wire[run_cap:2 * run_cap],
                     wire[2 * run_cap:3 * run_cap], n_runs, m_p + 1))
         return pairs_to_matches(index, lo, width, k, m_p, cfg, mesh,
                                 sa_aug, cum=cum,
-                                summary=np.asarray(summary), qt=qt)
+                                summary=np.asarray(summary), qt=qt,
+                                stride=stride, ext_r=ext_r)
     if use_bucket:
         starts, shift, probes = bucket_table(index, k)
         lo, width, cum, summary = query_frontend_bucket(
-            refk, starts, qt, k, shift, probes)
+            refk, starts, qt, k, shift, probes, stride)
     else:
-        lo, width, cum, summary = query_frontend(refk, qt, k)
+        lo, width, cum, summary = query_frontend(refk, qt, k, stride)
     summary_h = np.asarray(summary)
     if cfg.mode.value == "mem":
-        _set_last_total(index, k, int(summary_h[0]))
+        _set_last_total(index, k, int(summary_h[0]), stride=stride)
     return pairs_to_matches(index, lo, width, k, m_p, cfg, mesh, sa_aug,
-                            cum=cum, summary=summary_h, qt=qt)
+                            cum=cum, summary=summary_h, qt=qt,
+                            stride=stride, ext_r=ext_r)
 
 
 def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                      m: int, cfg: Config, mesh=None,
                      sa_aug: jax.Array | None = None, cum=None,
-                     summary=None, qt=None) -> SeedMatches:
+                     summary=None, qt=None, stride: int = 1,
+                     ext_r=None) -> SeedMatches:
     """Shared backend: intervals at depth k -> maximal matches >= min_length.
 
     Host-side planning slices query positions into rounds whose total pair
@@ -1105,15 +1305,22 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
         # (deliberately small capacities — tests, constrained configs — are
         # left alone)
         capacity = max(capacity, int(cfg.pair_capacity_max))
-    block = min(cfg.position_block, m)
-    diag_mod = np.int64(m + block + 2)  # qpos0 can reach m + block - 1
+    # with sparse seeding (stride > 1) lo/width cover SAMPLE positions:
+    # planning, blocks and run triples all live in sample space until the
+    # post-merge endpoint extension (_finalize_strided)
+    m_s = int(lo.shape[0])
+    block = min(cfg.position_block, m_s)
+    # qpos can reach (m_s - 1 + block) * stride; keep d = refpos - qpos +
+    # diag_mod/2 sortable and collision-free per diagonal
+    diag_mod = (np.int64(m + block + 2) if stride == 1
+                else np.int64((m_s + block + 2) * stride + 2))
 
     if cum is None:
         w_host = np.asarray(width)
         cum_h = np.concatenate(([0], np.cumsum(w_host)))
-        blocks = _plan_blocks(cum_h, m, capacity, block)
+        blocks = _plan_blocks(cum_h, m_s, capacity, block)
     else:
-        blocks = plan_blocks_on_device(cum, summary, capacity, block, m)
+        blocks = plan_blocks_on_device(cum, summary, capacity, block, m_s)
 
     # pre-pad so in-program dynamic slices never clamp (start <= m)
     lo_ext = jnp.concatenate([lo, jnp.zeros((block,), lo.dtype)])
@@ -1121,7 +1328,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
 
     want_pairs = cfg.mode.value != "mem"
     use_boundary = ((not want_pairs) and qt is not None
-                    and cfg.match_backend == "boundary")
+                    and cfg.match_backend == "boundary" and stride == 1)
     batches: list[RunBatch] = []
     pair_chunks: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
 
@@ -1198,13 +1405,13 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                                 max(int(ns_a.sum()), int(ne_a.sum())))
             return _mem_result(total_pairs, len(blocks))
         elif not want_pairs:
-            # legacy run-triple path (no query codes available)
+            # run-triple path (also the sparse multi-round path)
             pending = []
             for start, end in blocks:
                 pending.append(expand_block_to_runs(
                     sa_aug, lo_ext, w_ext,
                     jnp.asarray(start, jnp.int64), jnp.asarray(end, jnp.int64),
-                    m_off32, capacity, run_cap, block))
+                    m_off32, capacity, run_cap, block, stride))
             if pending:
                 stacked = [jnp.stack([p[j] for p in pending])
                            for j in range(4)]
@@ -1215,7 +1422,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
             if summary is not None and pending:
                 # same run-count upper bound as the boundary branch above
                 _set_last_total(index, k, int(summary[0]),
-                                int(n_runs_all.sum()))
+                                int(n_runs_all.sum()), stride)
             for r, (start, end) in enumerate(blocks):
                 n_runs = int(n_runs_all[r])
                 if n_runs <= run_cap:
@@ -1227,7 +1434,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                         sa_aug, lo_ext, w_ext,
                         jnp.asarray(start, jnp.int64),
                         jnp.asarray(end, jnp.int64), m_off32, capacity,
-                        block)
+                        block, stride)
                     _collect(runs_from_sorted_pairs(
                         np.asarray(d_s), np.asarray(q_s),
                         int(diag_mod) // 2, k, want_pairs))
@@ -1247,6 +1454,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                                           expand_runs_gathered,
                                           sharded_expand_sort)
 
+        assert stride == 1, "mesh expansion paths are dense-only"
         ndev = len(mesh.devices.flat)
         for g in range(0, len(blocks), ndev):
             group = blocks[g:g + ndev]
@@ -1317,17 +1525,58 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
             return _mem_result(
                 int(summary[0]) if summary is not None else -1, len(blocks))
 
-    matches = finalize_matches(batches, pair_chunks if want_pairs else None,
-                               k, m, diag_mod, cfg)
+    if stride != 1:
+        matches = _finalize_strided(batches, qt, ext_r, k, stride, cfg)
+    else:
+        matches = finalize_matches(batches,
+                                   pair_chunks if want_pairs else None,
+                                   k, m, diag_mod, cfg)
     if summary is not None:
         total_pairs = int(summary[0])
         kw = 2 if k > 16 else 1
         matches.stats = {"pairs": total_pairs, "k": k,
-                         "rounds": len(blocks),
+                         "rounds": len(blocks), "stride": stride,
                          "bytes_min": roofline_bytes(
                              index.n, m, kw, total_pairs,
                              bucket=prefer_bucket(index.n, m))}
     return matches
+
+
+def _finalize_strided(batches: list[RunBatch], qt, ext_r, k: int,
+                      stride: int, cfg: Config) -> SeedMatches:
+    """Sparse multi-round tail: merge sample-space run fragments, then one
+    endpoint-extension dispatch recovers exact position-space boundaries.
+
+    Fragments are merged BEFORE extension — a match crossing a round edge
+    splits into fragments whose interior boundaries are not flanked by
+    mismatches, so extending fragments independently would over-extend.
+    Upload cost is 3 int32 arrays of the merged RUN count (padded to a
+    power-of-two bucket so the dispatch compiles once per bucket).
+    """
+    runs = merge_runs(batches) if batches else RunBatch(
+        np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64))
+    nr = int(runs.diag.size)
+    if nr == 0:
+        e = np.zeros(0, np.int64)
+        return SeedMatches(refpos=e, qpos=e.copy(), length=e.copy())
+    bucket = max(1024, 1 << (nr - 1).bit_length())
+    pad = bucket - nr
+    diag32 = np.concatenate([runs.diag, np.zeros(pad, np.int64)]
+                            ).astype(np.int32)
+    qs32 = np.concatenate([runs.qstart, np.zeros(pad, np.int64)]
+                          ).astype(np.int32)
+    qe32 = np.concatenate([runs.qend, np.zeros(pad, np.int64)]
+                          ).astype(np.int32)
+    ext_q = ext_arrays(qt)
+    qstart_p, qend_p = extend_runs(
+        jnp.asarray(diag32), jnp.asarray(qs32), jnp.asarray(qe32),
+        jnp.int32(nr), ext_r, ext_q, stride, k)
+    qstart = np.asarray(qstart_p)[:nr].astype(np.int64)
+    qend = np.asarray(qend_p)[:nr].astype(np.int64)
+    length = k + qend - qstart
+    keep = length >= cfg.min_length
+    return SeedMatches(refpos=(runs.diag + qstart)[keep],
+                       qpos=qstart[keep], length=length[keep])
 
 
 def finalize_matches(batches: list[RunBatch],
