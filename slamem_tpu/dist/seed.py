@@ -69,12 +69,12 @@ def sharded_expand_sort(mesh: Mesh, sa_aug: jax.Array,
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "capacity", "run_capacity",
-                                    "block"))
+                                    "block", "stride"))
 def expand_runs_gathered(mesh: Mesh, sa_aug: jax.Array,
                          lo_ext: jax.Array, w_ext: jax.Array,
                          starts: jax.Array, limits: jax.Array,
                          m_off, capacity: int, run_capacity: int,
-                         block: int):
+                         block: int, stride: int = 1):
     """PRODUCTION mesh MEM path: per-device run compaction + collective
     merge (BASELINE north star "merged and deduplicated via all_gather/psum
     collectives before emission").
@@ -93,7 +93,7 @@ def expand_runs_gathered(mesh: Mesh, sa_aug: jax.Array,
     def step(sa_aug, lo, w, st, lim, m_off):
         lo_b, w_b, q_start = _block_slices(lo, w, st[0], lim[0], block)
         d_s, q_s = _expand_pairs_core(sa_aug, lo_b, w_b, q_start, m_off,
-                                      capacity)
+                                      capacity, stride)
         run_d, run_qs, run_qe, n_runs, n_pairs = _compact_pair_runs(
             d_s, q_s, run_capacity)
         total = jax.lax.psum(n_pairs, "q")

@@ -1175,10 +1175,10 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     k = choose_seed_k(index.n, m_p, cfg.min_length, cfg.seed_length_cap)
     refk, sa_aug = seed_table(index, k)
     # sparse seeding: MEM-only (MUM/MAM occurrence counts need dense pair
-    # tables) and single-device for now (the mesh expanders are dense)
+    # tables) and sort-backend-only (boundary flags test window-adjacent
+    # chars, which is a dense-pair notion)
     stride = 1
     if (cfg.mode.value == "mem" and cfg.sparse_seeds != "off"
-            and (mesh is None or len(mesh.devices.flat) == 1)
             and cfg.match_backend == "sort"):
         stride = choose_stride(k, cfg.min_length)
     ext_r = ext_table(index) if stride != 1 else None
@@ -1454,7 +1454,6 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                                           expand_runs_gathered,
                                           sharded_expand_sort)
 
-        assert stride == 1, "mesh expansion paths are dense-only"
         ndev = len(mesh.devices.flat)
         for g in range(0, len(blocks), ndev):
             group = blocks[g:g + ndev]
@@ -1468,6 +1467,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                 # boundary backend: per-device boundary flags, merged via
                 # all_gather/psum collectives before emission — the host
                 # matches start/end events, it never sorts pairs
+                assert stride == 1  # use_boundary already implies this
                 gsd, gsq, ged, geq, gns, gne, _tot = (
                     expand_boundaries_gathered(
                         mesh, index.text, qt, sa_aug, lo_ext, w_ext,
@@ -1491,7 +1491,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                 gd, gqs, gqe, gnr, _tot = expand_runs_gathered(
                     mesh, sa_aug, lo_ext, w_ext,
                     jnp.asarray(starts), jnp.asarray(limits),
-                    m_off32, capacity, run_cap, block)
+                    m_off32, capacity, run_cap, block, stride)
                 gnr_h = np.asarray(gnr)
                 gd_h, gqs_h, gqe_h = (np.asarray(gd), np.asarray(gqs),
                                       np.asarray(gqe))
@@ -1506,7 +1506,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                             sa_aug, lo_ext, w_ext,
                             jnp.asarray(st, jnp.int64),
                             jnp.asarray(en, jnp.int64), m_off32, capacity,
-                            block)
+                            block, stride)
                         batches.append(runs_from_sorted_pairs(
                             np.asarray(d_s), np.asarray(q_s),
                             int(diag_mod) // 2, k, False))

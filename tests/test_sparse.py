@@ -123,6 +123,27 @@ def test_parity_multifasta_and_revcomp_codes():
     assert_sparse_equals_dense(ref, qry, 22, oracle=True)
 
 
+def test_parity_on_mesh():
+    # replicated-index data-parallel mesh path with sparse seeding: device
+    # blocks partition SAMPLE space, fragments all_gather as sample-space
+    # triples and extend post-merge
+    from slamem_tpu.dist.mesh import make_mesh, put_replicated
+
+    ref = random_genome(4000, seed=91)
+    qry = mutate(ref, 0.015, 0.0015, seed=92)
+    index = build_index(np.asarray(ref, np.uint8), occ_block=32)
+    cfg = Config(min_length=20, pair_capacity=256, position_block=29)
+    k = seed_mode.choose_seed_k(index.n, len(qry), 20, cfg.seed_length_cap)
+    assert choose_stride(k, 20) > 1
+    want = tuples(index, qry, cfg)
+    mesh = make_mesh(8)
+    index_r = put_replicated(index, mesh)
+    m = find_seed_matches(index_r, qry, cfg, mesh=mesh)
+    got_mesh = sorted(zip(m.refpos.tolist(), m.qpos.tolist(),
+                          m.length.tolist()))
+    assert got_mesh == want
+
+
 def test_choose_stride_values():
     assert choose_stride(16, 16) == 1
     assert choose_stride(16, 17) == 2
