@@ -111,9 +111,10 @@ def _slab_bucket_tables(mesh: Mesh, refk0_sh: jax.Array, bbits: int,
     return fn(refk0_sh)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "k", "shift", "probes"))
+@functools.partial(jax.jit, static_argnames=("mesh", "k", "shift", "probes",
+                                             "stride"))
 def sharded_frontend(mesh: Mesh, refk_sh, starts_sh, qt: jax.Array, k: int,
-                     shift: int, probes: int):
+                     shift: int, probes: int, stride: int = 1):
     """Per-shard local intervals for every query position.
 
     Returns (lo_local [ndev, m] int32, width_local [ndev, m] int32,
@@ -128,6 +129,9 @@ def sharded_frontend(mesh: Mesh, refk_sh, starts_sh, qt: jax.Array, k: int,
     def step(refk_l, starts_l, qt):
         refk_w = tuple(w[0] for w in refk_l)
         qk_w, qvalid = packed_key_words(qt, k)
+        if stride != 1:  # sparse seeding: per-slab intervals for samples
+            qk_w = tuple(w[::stride] for w in qk_w)
+            qvalid = qvalid[::stride]
         lo, w = _bucket_intervals(refk_w, starts_l[0], qk_w, qvalid,
                                   shift, probes)
         wmax = jax.lax.pmax(w, "q")
@@ -145,8 +149,9 @@ def sharded_frontend(mesh: Mesh, refk_sh, starts_sh, qt: jax.Array, k: int,
     return fn(refk_sh, starts_sh, qt)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "k"))
-def sharded_frontend_join(mesh: Mesh, refk_sh, qt: jax.Array, k: int):
+@functools.partial(jax.jit, static_argnames=("mesh", "k", "stride"))
+def sharded_frontend_join(mesh: Mesh, refk_sh, qt: jax.Array, k: int,
+                          stride: int = 1):
     """sharded_frontend with the per-slab SORT JOIN instead of bucket probes.
 
     Each slab is itself word-lexicographically sorted, so the combined-sort
@@ -163,6 +168,9 @@ def sharded_frontend_join(mesh: Mesh, refk_sh, qt: jax.Array, k: int):
     def step(refk_l, qt):
         refk_w = tuple(w[0] for w in refk_l)
         qk_w, qvalid = packed_key_words(qt, k)
+        if stride != 1:  # sparse seeding: per-slab intervals for samples
+            qk_w = tuple(w[::stride] for w in qk_w)
+            qvalid = qvalid[::stride]
         lo, w = _join_intervals(refk_w, qk_w, qvalid)
         wmax = jax.lax.pmax(w, "q")
         cum = jnp.cumsum(wmax.astype(jnp.int64))
@@ -176,9 +184,10 @@ def sharded_frontend_join(mesh: Mesh, refk_sh, qt: jax.Array, k: int):
     return fn(refk_sh, qt)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "capacity", "block"))
+@functools.partial(jax.jit, static_argnames=("mesh", "capacity", "block",
+                                             "stride"))
 def sharded_expand(mesh: Mesh, sa_sh, lo_sh, w_sh, start, limit,
-                   m_off, capacity: int, block: int):
+                   m_off, capacity: int, block: int, stride: int = 1):
     """Each shard expands its local interval parts for one position block
     into sorted raw pairs (the MUM/MAM + run-overflow path; the MEM fast
     path is sharded_expand_runs).
@@ -192,7 +201,7 @@ def sharded_expand(mesh: Mesh, sa_sh, lo_sh, w_sh, start, limit,
     def step(sa_l, lo_l, w_l, st, lim, m_off):
         lo_b, w_b, q_start = _block_slices(lo_l[0], w_l[0], st, lim, block)
         d_s, q_s = _expand_pairs_core(sa_l[0], lo_b, w_b, q_start, m_off,
-                                      capacity)
+                                      capacity, stride)
         return d_s[None], q_s[None]
 
     fn = shard_map(
@@ -204,9 +213,10 @@ def sharded_expand(mesh: Mesh, sa_sh, lo_sh, w_sh, start, limit,
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "capacity", "run_capacity",
-                                    "block"))
+                                    "block", "stride"))
 def sharded_expand_runs(mesh: Mesh, sa_sh, lo_sh, w_sh, start, limit,
-                        m_off, capacity: int, run_capacity: int, block: int):
+                        m_off, capacity: int, run_capacity: int, block: int,
+                        stride: int = 1):
     """MEM fast path: per-shard expansion + ON-DEVICE run compaction.
 
     Each shard compacts its sorted pairs into run-boundary triples before
@@ -226,7 +236,7 @@ def sharded_expand_runs(mesh: Mesh, sa_sh, lo_sh, w_sh, start, limit,
     def step(sa_l, lo_l, w_l, st, lim, m_off):
         lo_b, w_b, q_start = _block_slices(lo_l[0], w_l[0], st, lim, block)
         d_s, q_s = _expand_pairs_core(sa_l[0], lo_b, w_b, q_start, m_off,
-                                      capacity)
+                                      capacity, stride)
         run_d, run_qs, run_qe, n_runs, n_pairs = _compact_pair_runs(
             d_s, q_s, run_capacity)
         total = jax.lax.psum(n_pairs, "q")
@@ -254,23 +264,37 @@ def find_seed_matches_sharded(index: FMIndex, query_text: np.ndarray,
     qp, qt = seed_mode.query_to_device(query_text)
     m = int(qp.shape[0])
     k = choose_seed_k(index.n, m, cfg.min_length, cfg.seed_length_cap)
+    # sparse seeding (engine/seed_mode.py choose_stride): same exactness
+    # argument as the replicated path — pairs are partitioned by SA row, so
+    # a run's samples may scatter over shards arbitrarily, but merge_runs
+    # collapses ANY partition of a run's consecutive sample indices, and
+    # extension happens once, post-merge
+    stride = 1
+    if (cfg.mode.value == "mem" and cfg.sparse_seeds != "off"
+            and cfg.match_backend == "sort"):
+        stride = seed_mode.choose_stride(k, cfg.min_length)
     refk_sh, sa_sh, starts_sh, shift, probes = shard_tables(index, k, mesh)
     ndev_f = len(mesh.devices.flat)
     slab = -(-index.n // ndev_f)
     use_bucket = (cfg.frontend == "bucket"
-                  or (cfg.frontend == "auto" and prefer_bucket(slab, m)))
+                  or (cfg.frontend == "auto"
+                      and prefer_bucket(slab, m // stride)))
     if use_bucket:
         lo_l, w_l, cum, summary = sharded_frontend(mesh, refk_sh, starts_sh,
-                                                   qt, k, shift, probes)
+                                                   qt, k, shift, probes,
+                                                   stride)
     else:
-        lo_l, w_l, cum, summary = sharded_frontend_join(mesh, refk_sh, qt, k)
+        lo_l, w_l, cum, summary = sharded_frontend_join(mesh, refk_sh, qt, k,
+                                                        stride)
 
     # plan rounds with the per-shard worst case so every shard fits capacity
     capacity = int(cfg.pair_capacity)
-    block = min(cfg.position_block, m)
+    m_s = int(lo_l.shape[1])   # sample space when stride > 1
+    block = min(cfg.position_block, m_s)
     blocks = seed_mode.plan_blocks_on_device(cum, np.asarray(summary),
-                                             capacity, block, m)
-    diag_mod = np.int64(m + block + 2)
+                                             capacity, block, m_s)
+    diag_mod = (np.int64(m + block + 2) if stride == 1
+                else np.int64((m_s + block + 2) * stride + 2))
     m_off = int(diag_mod) // 2
 
     ndev = len(mesh.devices.flat)
@@ -289,7 +313,7 @@ def find_seed_matches_sharded(index: FMIndex, query_text: np.ndarray,
         if not want_pairs:
             run_d, run_qs, run_qe, n_runs, _tot = sharded_expand_runs(
                 mesh, sa_sh, lo_ext, w_ext, st, en, m_off32, capacity,
-                run_cap, block)
+                run_cap, block, stride)
             n_runs_h = np.asarray(n_runs)
             run_d_h = np.asarray(run_d)
             run_qs_h = np.asarray(run_qs)
@@ -299,7 +323,7 @@ def find_seed_matches_sharded(index: FMIndex, query_text: np.ndarray,
             if overflow:  # run-capacity overflow: one raw-pair re-dispatch
                 d_all, q_all = sharded_expand(
                     mesh, sa_sh, lo_ext, w_ext, st, en, m_off32, capacity,
-                    block)
+                    block, stride)
                 d_of = np.asarray(d_all)
                 q_of = np.asarray(q_all)
             for di in range(ndev):
@@ -323,5 +347,8 @@ def find_seed_matches_sharded(index: FMIndex, query_text: np.ndarray,
                         (batch.pair_qpos, batch.pair_refpos, batch.pair_ext))
                 batches.append(batch)
 
+    if stride != 1:
+        return seed_mode._finalize_strided(
+            batches, qt, seed_mode.ext_table(index), k, stride, cfg)
     return seed_mode.finalize_matches(
         batches, pair_chunks if want_pairs else None, k, m, diag_mod, cfg)

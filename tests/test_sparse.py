@@ -144,6 +144,26 @@ def test_parity_on_mesh():
     assert got_mesh == want
 
 
+def test_parity_sharded():
+    # SA-rank-sharded index path: a run's samples scatter over slabs by SA
+    # rank (arbitrary partition), merge_runs + post-merge extension must
+    # still be exact; both frontends
+    from slamem_tpu.dist.mesh import make_mesh
+    from slamem_tpu.dist.sharded import find_seed_matches_sharded
+
+    ref = random_genome(5000, seed=101)
+    qry = mutate(ref, 0.01, 0.001, seed=102)
+    index = build_index(np.asarray(ref, np.uint8), occ_block=32)
+    mesh = make_mesh(8)
+    want = tuples(index, qry, Config(min_length=25, sparse_seeds="off"))
+    for fe in ("join", "bucket"):
+        cfg = Config(min_length=25, pair_capacity=512, frontend=fe)
+        m = find_seed_matches_sharded(index, qry, cfg, mesh)
+        got = sorted(zip(m.refpos.tolist(), m.qpos.tolist(),
+                         m.length.tolist()))
+        assert got == want, fe
+
+
 def test_choose_stride_values():
     assert choose_stride(16, 16) == 1
     assert choose_stride(16, 17) == 2
