@@ -273,6 +273,58 @@ def scan():
         sys.stdout.flush()
 
 
+def chr1front():
+    """Isolate the replicated chr1 anomaly: frontend vs fused tail.
+
+    chr1 (r2, sparse): sharded 5.6 s but REPLICATED 56 s at 1.07M pairs —
+    10x apart on near-identical work. Times the bucket and join frontends
+    alone, then the fused variants, 250 Mbp ref / 50 Mbp query, stride 16."""
+    import jax
+
+    from slamem_tpu.config import Config
+    from slamem_tpu.engine import seed_mode as sm
+    from slamem_tpu.index.build import build_index
+    from slamem_tpu.utils.synth import strain_pair
+
+    ref, qry = strain_pair(250_000_000, seed=20260816, sub_rate=0.03,
+                           indel_rate=0.003)
+    qry = qry[:50_000_000]
+    t0 = time.perf_counter()
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    print(json.dumps({"exp": "chr1front",
+                      "build_s": time.perf_counter() - t0}))
+    sys.stdout.flush()
+    k = 32
+    stride = 16
+    refk, sa_aug = sm.seed_table(index, k)
+    qp, qt = sm.query_to_device(qry)
+    starts, shift, probes = sm.bucket_table(index, k)
+
+    def timed(label, fn, n=2):
+        fn()  # compile
+        best = 1e9
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({"exp": "chr1front", "label": label, "s": best}))
+        sys.stdout.flush()
+
+    timed("frontend_bucket", lambda: np.asarray(sm.query_frontend_bucket(
+        refk, starts, qt, k, shift, probes, stride)[3]))
+    timed("frontend_join", lambda: np.asarray(sm.query_frontend(
+        refk, qt, k, stride)[3]))
+    ext_r = sm.ext_table(index)
+    cap = 1 << 21
+    timed("fused_bucket", lambda: np.asarray(sm.fused_query_bucket(
+        index.text, refk, starts, sa_aug, qt, k, cap, cap // 16,
+        shift, probes, "sort", stride, ext_r)[4][-3:]))
+    timed("fused_join", lambda: np.asarray(sm.fused_query(
+        index.text, refk, sa_aug, qt, k, cap, cap // 16,
+        "sort", stride, ext_r)[4][-3:]))
+
+
 def chr1():
     import jax
 

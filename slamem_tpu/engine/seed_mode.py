@@ -1040,7 +1040,7 @@ class SeedMatches:
 
 
 def roofline_bytes(n: int, m: int, k_words: int, pairs: int,
-                   bucket: bool) -> int:
+                   bucket: bool, stride: int = 1) -> int:
     """LOWER-BOUND HBM bytes of one seed query (the roofline denominator).
 
     Exact components: the frontend either sorts the n+m combined key rows
@@ -1052,15 +1052,19 @@ def roofline_bytes(n: int, m: int, k_words: int, pairs: int,
     sort makes several passes and gathers touch whole cache lines, so
     achieved time can exceed this floor — hbm_fraction computed from it is
     a conservative (never flattering) roofline estimate (SURVEY.md §5).
+    With sparse seeding only every stride-th position enters the frontend
+    (packing still reads all m codes once: + m bytes).
     """
+    m_rows = -(-m // stride)
     if bucket:
-        frontend = m * 2 * 12 * k_words * 4
+        frontend = m_rows * 2 * 12 * k_words * 4
     else:
-        frontend = (n + m) * 4 * (k_words + 1) * 2
+        frontend = (n + m_rows) * 4 * (k_words + 1) * 2
     expand = pairs * 4
     flags = pairs * 2
     compact = pairs * 8
-    return int(frontend + expand + flags + compact)
+    return int(frontend + (m if stride > 1 else 0)
+               + expand + flags + compact)
 
 
 def _plan_blocks(cum: np.ndarray, m: int, capacity: int,
@@ -1233,7 +1237,7 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                        "stride": stride,
                        "bytes_min": roofline_bytes(
                            index.n, m_p, len(refk), total,
-                           bucket=use_bucket)})
+                           bucket=use_bucket, stride=stride)})
 
         fits = total <= min(capacity, np.iinfo(np.int32).max - 1)
         # run counts in the wire are exact only when the pair buffer held
@@ -1538,7 +1542,8 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                          "rounds": len(blocks), "stride": stride,
                          "bytes_min": roofline_bytes(
                              index.n, m, kw, total_pairs,
-                             bucket=prefer_bucket(index.n, m))}
+                             bucket=prefer_bucket(index.n, m // stride),
+                             stride=stride)}
     return matches
 
 
