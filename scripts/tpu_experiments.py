@@ -9,6 +9,7 @@ lines. Usage: python scripts/tpu_experiments.py <name>
   chr21ab       chr21-scale A/B: K=16 vs K=32 seed depth
   scan          scan engine compiled on TPU (small, then 1 Mbp)
   chr1          chr1-scale sharded rehearsal (250 Mbp ref, 50 Mbp query)
+  chr1rep       replicated chr1: 4 consecutive calls (compile-shape anomaly)
 """
 
 from __future__ import annotations
@@ -577,6 +578,114 @@ def prof3():
         return jnp.cumsum(acc)
 
     timed("delta_fill_vals", delta_fill, vals, w)
+
+
+
+
+def chr1rep():
+    """Replicated chr1 anomaly, take 2: time FOUR consecutive production
+    calls. Hypothesis: call 2's 56 s was the fresh XLA compile of the
+    adaptive-capacity fused shape (call 1 runs the default 4M capacity,
+    overflows its run buffer, records (pairs, runs); call 2 snaps to the
+    6M bucket -- a shape never compiled before). If so, calls 3+ drop to
+    the ~1.7 s the isolated fused_bucket measurement showed."""
+    import jax
+
+    from slamem_tpu.config import Config
+    from slamem_tpu.engine.seed_mode import find_seed_matches
+    from slamem_tpu.index.build import build_index
+    from slamem_tpu.utils.synth import strain_pair
+
+    ref, qry = strain_pair(250_000_000, seed=20260816, sub_rate=0.03,
+                           indel_rate=0.003)
+    qry = qry[:50_000_000]
+    t0 = time.perf_counter()
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    print(json.dumps({"exp": "chr1rep",
+                      "build_s": time.perf_counter() - t0}))
+    sys.stdout.flush()
+    cfg = Config(min_length=50)
+    for call in range(4):
+        t0 = time.perf_counter()
+        m = find_seed_matches(index, qry, cfg)
+        dt = time.perf_counter() - t0
+        print(json.dumps({"exp": "chr1rep", "call": call, "s": dt,
+                          "matches": int(m.length.size),
+                          "stats": m.stats}))
+        sys.stdout.flush()
+
+
+
+def chr21sparse():
+    """Stage-level profile of the CURRENT sparse chr21 query (40 Mbp,
+    -l 50, stride 16, k 16): where do the 1.48 s go? Times the packing,
+    the join frontend, the full fused dispatch at the adaptive capacity,
+    and the wire fetch separately."""
+    import jax
+    import jax.numpy as jnp
+
+    from slamem_tpu.config import Config
+    from slamem_tpu.engine import seed_mode as sm
+    from slamem_tpu.index.build import build_index
+    from slamem_tpu.utils.synth import strain_pair
+
+    ref, qry = strain_pair(40_000_000, seed=20260817, sub_rate=0.015,
+                           indel_rate=0.0015)
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    cfg = Config(min_length=50)
+    qp, qt = sm.query_to_device(qry)
+    m_p = int(qp.shape[0])
+    k = sm.choose_seed_k(index.n, m_p, 50, cfg.seed_length_cap)
+    stride = sm.choose_stride(k, 50)
+    refk, sa_aug = sm.seed_table(index, k)
+    ext_r = sm.ext_table(index)
+    print(json.dumps({"exp": "chr21sparse", "k": k, "stride": stride,
+                      "m_p": m_p, "n": int(index.n)}))
+    sys.stdout.flush()
+
+    def timed(label, fn, n=3):
+        fn()
+        best = 1e9
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({"exp": "chr21sparse", "label": label, "s": best}))
+        sys.stdout.flush()
+
+    pack = jax.jit(lambda q: sm.packed_key_words(q, k)[0][0],
+                   static_argnums=())
+    timed("pack_all", lambda: jax.block_until_ready(pack(qt)))
+    timed("frontend_join", lambda: np.asarray(
+        sm.query_frontend(refk, qt, k, stride)[3]))
+    starts, shift, probes = sm.bucket_table(index, k)
+    print(json.dumps({"exp": "chr21sparse", "probes": probes}))
+    timed("frontend_bucket", lambda: np.asarray(
+        sm.query_frontend_bucket(refk, starts, qt, k, shift, probes,
+                                 stride)[3]))
+    # production calls to settle adaptive capacity, then the exact dispatch
+    from slamem_tpu.engine.seed_mode import find_seed_matches
+    for call in range(3):
+        t0 = time.perf_counter()
+        m = find_seed_matches(index, qry, cfg)
+        dt = time.perf_counter() - t0
+        print(json.dumps({"exp": "chr21sparse", "call": call, "s": dt,
+                          "matches": int(m.length.size), "stats": m.stats}))
+        sys.stdout.flush()
+    last_pairs, last_runs = sm._last_total(index, k, stride)
+    capacity = sm.capacity_bucket(max(last_pairs, 16 * (last_runs or 1)),
+                                  1 << 18, int(cfg.pair_capacity_max))
+    run_cap = max(4096, capacity // 16)
+    print(json.dumps({"exp": "chr21sparse", "capacity": capacity,
+                      "run_cap": run_cap}))
+    timed("fused_dispatch_only", lambda: jax.block_until_ready(
+        sm.fused_query(index.text, refk, sa_aug, qt, k, capacity, run_cap,
+                       "sort", stride, ext_r)[4]))
+    timed("fused_plus_wire", lambda: np.asarray(
+        sm.fused_query(index.text, refk, sa_aug, qt, k, capacity, run_cap,
+                       "sort", stride, ext_r)[4]))
 
 
 if __name__ == "__main__":
