@@ -278,7 +278,8 @@ def find_seed_matches_sharded(index: FMIndex, query_text: np.ndarray,
     slab = -(-index.n // ndev_f)
     use_bucket = (cfg.frontend == "bucket"
                   or (cfg.frontend == "auto"
-                      and prefer_bucket(slab, m // stride)))
+                      and prefer_bucket(slab, m // stride, len(refk_sh),
+                                        probes)))
     if use_bucket:
         lo_l, w_l, cum, summary = sharded_frontend(mesh, refk_sh, starts_sh,
                                                    qt, k, shift, probes,

@@ -1148,20 +1148,33 @@ def choose_seed_k(n: int, m: int, min_length: int, cap: int) -> int:
     return k
 
 
-def prefer_bucket(n: int, m_p: int) -> bool:
+# Measured end-to-end frontend constants (scripts/tpu_experiments.py
+# chr21sparse + prof2, v5e): the FULL join frontend costs ~10 ns per
+# sorted row-column (raw sort is ~2 ns; concat, cumsum/cummax passes and
+# the result scatters triple it), one 4-byte random gather ~16.6 ns. The
+# model retro-predicts chr21 sparse (join 0.85 s vs bucket 0.50 s at
+# probes=5) and chr1 replicated (join 7.6 s vs bucket 1.5 s) to ~5%.
+_JOIN_NS_PER_ROW_COL = 10.0
+_GATHER_NS = 16.6
+
+
+def prefer_bucket(n: int, m_p: int, words: int = 1,
+                  probes: int | None = None) -> bool:
     """True when the bucket frontend beats the sort join (measured model).
 
-    v5e microbenchmarks (scripts/tpu_experiments.py prof2): a sort costs
-    ~2 ns per row-column while a 4-byte random gather costs ~16 ns. The
-    join re-sorts n + m rows of k_words+1 columns; the bucket search does
-    ~(2 + 2*probes*k_words) gathers per query position (probes ~ 12).
-    Equating the two puts the crossover at n ~ 100*m for one seed word and
-    ~130*m for two — the bucket frontend only wins when the reference
-    DWARFS the query batch (short serving queries against a chromosome).
-    Round 1 shipped n > 2*m, which at chr1 scale (n/m = 5) chose dozens of
-    250M-wide probe gathers over one cheap sort and ran 2.4x slower.
+    The join re-sorts n + m_p rows of words+1 columns; the bucket search
+    does 2 + 2*probes*words gathers per query position, independent of n.
+    With probes from the real bucket table (log2 max bucket at bbits<=24,
+    typically 3-7) the crossover sits near n ~ 6-10 * m_p — far below the
+    round-1 n > 64*m_p guess, which assumed probes ~ 12 and charged the
+    join only its raw sort. Callers that know the table pass (words,
+    probes); the probeless form keeps the conservative default.
     """
-    return n > 64 * m_p
+    if probes is None:
+        probes = 12
+    join_ns = _JOIN_NS_PER_ROW_COL * float(n + m_p) * (words + 1)
+    bucket_ns = _GATHER_NS * float(m_p) * (2 + 2 * probes * words)
+    return bucket_ns < join_ns
 
 
 def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
@@ -1188,27 +1201,35 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     ext_r = ext_table(index) if stride != 1 else None
     cap_cfg = int(cfg.pair_capacity)
     capacity = cap_cfg
-    last_pairs, last_runs = _last_total(index, k, stride)
-    if last_pairs and cap_cfg >= _GROWTH_MIN_CAPACITY:
-        # Track the observed workload: snap the fused buffers to the
-        # smallest bucket holding last call's pair AND run counts (the run
-        # buffer is capacity // 16). Adapt only when both were measured —
-        # resizing on pairs alone can shrink the run buffer under the real
-        # run count (or blind-grow into a 32M dispatch that overflows it),
-        # wasting a full dispatch before the fallback. Deliberately small
-        # configured capacities keep their semantics (same guard as the
-        # fallback growth below); stale predictions are harmless (overflow
-        # falls through to the multi-round path).
-        if last_runs is not None:
-            capacity = capacity_bucket(
-                max(last_pairs, 16 * last_runs), 1 << 18,
-                max(cap_cfg, int(cfg.pair_capacity_max)))
     run_cap = max(4096, capacity // 16)
+    last_pairs, last_runs = _last_total(index, k, stride)
+    if (last_pairs and cap_cfg >= _GROWTH_MIN_CAPACITY
+            and last_runs is not None):
+        # Track the observed workload: snap the pair and run buffers
+        # INDEPENDENTLY to the smallest buckets holding last call's counts.
+        # (A coupled run_cap = capacity//16 inflated the pair buffer 4x
+        # whenever runs came dense — chr21 sparse measured pairs/runs ~ 6,
+        # and every expansion op is capacity-wide.) Adapt only when both
+        # were measured — resizing on pairs alone can shrink the run buffer
+        # under the real run count, wasting a full dispatch before the
+        # fallback. Deliberately small configured capacities keep their
+        # semantics (same guard as the fallback growth below); stale
+        # predictions are harmless (overflow falls through to the
+        # multi-round path).
+        capacity = capacity_bucket(
+            last_pairs, 1 << 18, max(cap_cfg, int(cfg.pair_capacity_max)))
+        run_cap = capacity_bucket(
+            last_runs, 1 << 12,
+            max(cap_cfg, int(cfg.pair_capacity_max)) // 8)
     skip_fused = (last_pairs > capacity
                   or (last_runs is not None and last_runs > run_cap))
-    use_bucket = (cfg.frontend == "bucket"
-                  or (cfg.frontend == "auto"
-                      and prefer_bucket(index.n, m_p // stride)))
+    m_s = m_p // stride
+    use_bucket = cfg.frontend == "bucket"
+    if cfg.frontend == "auto" and index.n >= 4 * m_s:
+        # the model can only pick the bucket when n >~ 6*m_s, so the table
+        # build (one cached pass over n) is skipped below that
+        _, _, probes_auto = bucket_table(index, k)
+        use_bucket = prefer_bucket(index.n, m_s, len(refk), probes_auto)
     if cfg.mode.value == "mem" and not skip_fused and (
             mesh is None or len(mesh.devices.flat) == 1):
         # optimistic single-dispatch fast path (overflow falls through);

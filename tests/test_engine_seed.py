@@ -407,3 +407,53 @@ def test_match_backend_parity():
             min_length=12, pair_capacity=cap, match_backend="boundary"))
         assert srt == bnd
         assert len(srt) > 0
+
+
+def test_prefer_bucket_measured_crossover():
+    """The frontend cost model (chr21sparse/prof2 measurements) picks the
+    frontends that actually measured faster on v5e."""
+    from slamem_tpu.engine.seed_mode import prefer_bucket
+
+    # chr21 sparse: n=40M, m_s=2.5M, 1 word, probes=5 -> bucket measured
+    # 0.50 s vs join 0.85 s
+    assert prefer_bucket(40_000_000, 2_500_000, 1, 5)
+    # headline: n=5M, m_s=1M -> join measured at parity or better
+    assert not prefer_bucket(5_000_000, 1_000_000, 1, 4)
+    # chr1 replicated: n=250M, m_s=3.1M, 2 words, probes=7 -> bucket
+    # measured 1.5 s vs join 7.6 s
+    assert prefer_bucket(250_000_000, 3_125_000, 2, 7)
+    # tiny reference never prefers probing
+    assert not prefer_bucket(4_000, 4_000, 1, 3)
+
+
+def test_adaptive_run_cap_decoupled(monkeypatch):
+    """The run buffer snaps to the observed run count independently of the
+    pair buffer (a coupled capacity//16 run buffer inflated the pair
+    buffer 4x on run-dense workloads)."""
+    from slamem_tpu.engine import seed_mode
+
+    monkeypatch.setattr(seed_mode, "_GROWTH_MIN_CAPACITY", 64)
+    seed_mode._last_total_cache.clear()
+    calls = []
+    orig = seed_mode.capacity_bucket
+
+    def spy(total, floor_cap, ceil_cap):
+        calls.append((total, floor_cap, ceil_cap))
+        return orig(total, floor_cap, ceil_cap)
+
+    monkeypatch.setattr(seed_mode, "capacity_bucket", spy)
+    ref = random_genome(3000, seed=235)
+    qry = mutate(ref, 0.01, 0.001, seed=236)
+    cfg = Config(min_length=12, pair_capacity=1 << 14,
+                 pair_capacity_max=1 << 15)
+    index = build_index(np.asarray(ref, np.uint8), occ_block=32)
+    first = engine_tuples(index, np.asarray(qry, np.uint8), cfg)
+    second = engine_tuples(index, np.asarray(qry, np.uint8), cfg)
+    assert second == first
+    # the repeat call sized pairs AND runs from their own observed counts
+    pairs, runs = seed_mode._last_total(index, 12, 1)
+    if runs is None:  # stride path may differ at this scale; k from cfg
+        pairs, runs = seed_mode._last_total(index, 12, 4)
+    assert len(calls) >= 2
+    totals = [c[0] for c in calls]
+    assert pairs in totals and runs in totals
