@@ -261,6 +261,13 @@ def find_seed_matches_sharded(index: FMIndex, query_text: np.ndarray,
     bacterial-scale configs those modes serve (SURVEY.md §3.4), and the pair
     tables stay sharded until the single bounded fetch.
     """
+    if len(mesh.devices.flat) == 1:
+        # a 1-slab index IS the replicated index: the slab view is the whole
+        # table and every per-shard dispatch, fetch and host merge is pure
+        # overhead (measured 5.6 s vs 1.8 s at the chr1-scale rehearsal).
+        # Route through the fused single-device engine; the sharded
+        # machinery below is for meshes that actually split the SA.
+        return seed_mode.find_seed_matches(index, query_text, cfg)
     qp, qt = seed_mode.query_to_device(query_text)
     m = int(qp.shape[0])
     k = choose_seed_k(index.n, m, cfg.min_length, cfg.seed_length_cap)
@@ -290,9 +297,20 @@ def find_seed_matches_sharded(index: FMIndex, query_text: np.ndarray,
 
     # plan rounds with the per-shard worst case so every shard fits capacity
     capacity = int(cfg.pair_capacity)
+    summary_h = np.asarray(summary)
+    if capacity >= seed_mode._GROWTH_MIN_CAPACITY:
+        # the frontend summary already crossed the wire for planning, so the
+        # per-shard buffers right-size on the FIRST call from the measured
+        # worst-shard pair mass (the replicated path must learn it from a
+        # prior call) — every expansion op is capacity-wide, so a blind 4M
+        # default wastes ~35 ms/M slots per round. Deliberately small
+        # configured capacities keep their multi-round semantics.
+        capacity = seed_mode.capacity_bucket(
+            int(summary_h[0]) + int(summary_h[1]), 1 << 18,
+            max(capacity, int(cfg.pair_capacity_max)))
     m_s = int(lo_l.shape[1])   # sample space when stride > 1
     block = min(cfg.position_block, m_s)
-    blocks = seed_mode.plan_blocks_on_device(cum, np.asarray(summary),
+    blocks = seed_mode.plan_blocks_on_device(cum, summary_h,
                                              capacity, block, m_s)
     diag_mod = (np.int64(m + block + 2) if stride == 1
                 else np.int64((m_s + block + 2) * stride + 2))

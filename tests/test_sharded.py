@@ -84,3 +84,23 @@ def test_sharded_two_word_seeds_parity(monkeypatch):
     got = tuples(find_seed_matches_sharded(idx, qry, cfg, mesh))
     want = tuples(find_seed_matches(idx, qry, cfg))
     assert got == want and len(want) > 0
+
+
+def test_sharded_one_device_delegates_to_fused():
+    """A 1-slab mesh routes through the replicated fused engine (identical
+    matches; the slab view is the whole table, DESIGN.md §5c)."""
+    from slamem_tpu.dist.mesh import make_mesh
+    from slamem_tpu.dist.sharded import find_seed_matches_sharded
+    from slamem_tpu.engine.seed_mode import find_seed_matches
+
+    ref = random_genome(4000, seed=91)
+    qry = mutate(ref, 0.02, 0.002, seed=92)
+    index = build_index(np.asarray(ref, np.uint8), occ_block=32)
+    cfg = Config(min_length=14)
+    mesh = make_mesh(1)
+    a = find_seed_matches_sharded(index, np.asarray(qry, np.uint8), cfg,
+                                  mesh)
+    b = find_seed_matches(index, np.asarray(qry, np.uint8), cfg)
+    ta = sorted(zip(a.refpos.tolist(), a.qpos.tolist(), a.length.tolist()))
+    tb = sorted(zip(b.refpos.tolist(), b.qpos.tolist(), b.length.tolist()))
+    assert ta == tb and len(ta) > 0
