@@ -77,6 +77,95 @@ def run_bench(size: int, minlen: int, repeats: int = 3) -> dict:
     return res
 
 
+def run_config2_bench(size: int = 5_000_000, strains: int = 10,
+                      minlen: int = 30, repeats: int = 2) -> dict:
+    """BASELINE config #2 stand-in: 10 mutated strains (multi-FASTA query)
+    vs one reference, -l 30, through the full engine (per-strain batched
+    dispatch + formatting order)."""
+    import os as _os
+    import tempfile
+
+    import jax
+
+    from slamem_tpu.config import Config
+    from slamem_tpu.engine.run import run_engine
+    from slamem_tpu.io import Sequence, read_fasta, write_fasta
+    from slamem_tpu.utils.synth import mutate
+
+    ref, _ = build_inputs(size)
+    seqs = [Sequence(f"strain{j}", mutate(ref, 0.01 + 0.001 * j, 0.001,
+                                          seed=100 + j))
+            for j in range(strains)]
+    with tempfile.TemporaryDirectory() as td:
+        write_fasta(_os.path.join(td, "r.fa"), [Sequence("ref", ref)])
+        write_fasta(_os.path.join(td, "q.fa"), seqs)
+        ref_set = read_fasta(_os.path.join(td, "r.fa"))
+        qry_set = read_fasta(_os.path.join(td, "q.fa"))
+    cfg = Config(min_length=minlen)
+    from slamem_tpu.index.build import build_index
+    rtext, _ = ref_set.with_separators()
+    index = build_index(rtext, cfg.occ_block)
+    jax.block_until_ready(index.sa)
+    out = run_engine(ref_set, qry_set, cfg, index=index)  # warmup/compiles
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = run_engine(ref_set, qry_set, cfg, index=index)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    qbp = int(sum(len(s.codes) for s in seqs))
+    return {
+        "mbp_per_s": qbp / 1e6 / dt,
+        "query_s": dt,
+        "query_bp": qbp,
+        "strains": strains,
+        "matches": int(sum(qm.length.size for qm in out.per_query)),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def run_chr1_bench(size: int = 250_000_000, query_bp: int = 50_000_000,
+                   minlen: int = 50, repeats: int = 3) -> dict:
+    """BASELINE config #5 stand-in: chr1-scale pair (250 Mbp reference,
+    50 Mbp query slice, dissimilar-genome mutation rates). On one chip the
+    sharded path delegates to the fused replicated engine (DESIGN.md §5c);
+    multi-chip slab sharding is exercised on the fake mesh in tests."""
+    import jax
+
+    from slamem_tpu.config import Config
+    from slamem_tpu.engine.seed_mode import find_seed_matches
+    from slamem_tpu.index.build import build_index
+    from slamem_tpu.utils.synth import strain_pair
+
+    ref, qry = strain_pair(size, seed=20260816, sub_rate=0.03,
+                           indel_rate=0.003)
+    qry = qry[:query_bp]
+    t0 = time.perf_counter()
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    t_build = time.perf_counter() - t0
+    cfg = Config(min_length=minlen)
+    m = find_seed_matches(index, qry, cfg)  # warmup + adaptive sizing
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        m = find_seed_matches(index, qry, cfg)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    res = {
+        "mbp_per_s": len(qry) / 1e6 / dt,
+        "query_s": dt,
+        "build_s": t_build,
+        "query_bp": len(qry),
+        "matches": int(m.length.size),
+        "device": str(jax.devices()[0]),
+    }
+    if m.stats:
+        res.update(pairs=m.stats["pairs"], seed_k=m.stats["k"],
+                   stride=m.stats.get("stride", 1))
+    return res
+
+
 def run_rank_bench(size: int = 5_000_000, batch: int = 1 << 20,
                    repeats: int = 3) -> dict:
     """Pallas rank/occ kernel roofline: exactly 512 B HBM per query."""
@@ -136,14 +225,18 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
 
     if "--all" in argv:
-        # record every scenario (headline, chr21 config #4, rank kernel)
-        # into BENCH_DETAIL.json; stdout still gets ONE line (the headline)
+        # record every scenario (headline config #1, multi-strain config #2,
+        # chr21 config #4, chr1-scale config #5, rank kernel) into
+        # BENCH_DETAIL.json; stdout still gets ONE line (the headline)
         detail = {"headline_5mbp_l20": run_bench(SIZE, MINLEN)}
         detail["chr21_40mbp_l50"] = run_bench(40_000_000, 50, repeats=2)
-        try:
-            detail["rank_kernel"] = run_rank_bench()
-        except Exception as e:  # kernel path must not mask the headline
-            detail["rank_kernel"] = {"error": str(e)[:300]}
+        for key, fn in (("config2_10strains_l30", run_config2_bench),
+                        ("chr1_250mbp_l50", run_chr1_bench),
+                        ("rank_kernel", run_rank_bench)):
+            try:
+                detail[key] = fn()
+            except Exception as e:  # no scenario may mask the headline
+                detail[key] = {"error": str(e)[:300]}
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
             json.dump(detail, f, indent=1, default=str)

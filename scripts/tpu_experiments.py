@@ -688,5 +688,115 @@ def chr21sparse():
                        "sort", stride, ext_r)[4]))
 
 
+
+def seedk_headline():
+    """Headline K sweep: K < 16 trades bucket/join rows for noise pairs.
+
+    At L=20 the stride bound S <= L-K+1 means K=12 still allows S=9
+    (m_s = 555K vs 1M at K=16/S=5) and the K=12 noise term n*m_s/4^12 is
+    only ~166K pairs at 5 Mbp — the frontend shrinks nearly 2x. Sweeps
+    seed_length_cap over {16, 14, 13, 12}, 3 production calls each."""
+    import jax
+
+    from slamem_tpu.config import Config
+    from slamem_tpu.engine.seed_mode import find_seed_matches
+    from slamem_tpu.index.build import build_index
+    from slamem_tpu.utils.synth import strain_pair
+
+    ref, qry = strain_pair(5_000_000, seed=20260816, sub_rate=0.015,
+                           indel_rate=0.0015)
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    for cap in (16, 14, 13, 12):
+        cfg = Config(min_length=20, seed_length_cap=cap)
+        find_seed_matches(index, qry, cfg)
+        best = 1e9
+        stats = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            m = find_seed_matches(index, qry, cfg)
+            dt = time.perf_counter() - t0
+            if dt < best:
+                best, stats = dt, m.stats
+        print(json.dumps({"exp": "seedk_headline", "cap": cap, "s": best,
+                          "mbp_per_s": len(qry) / 1e6 / best,
+                          "matches": int(m.length.size), "stats": stats}))
+        sys.stdout.flush()
+
+
+def hlprof():
+    """Stage-level profile of the headline query at the round-2 policy
+    (5 Mbp, -l 20, K=14, stride 7): pack, frontend, fused dispatch alone,
+    fused + wire fetch, full production call — where does the 0.2 s go?"""
+    import jax
+
+    from slamem_tpu.config import Config
+    from slamem_tpu.engine import seed_mode as sm
+    from slamem_tpu.engine.seed_mode import find_seed_matches
+    from slamem_tpu.index.build import build_index
+    from slamem_tpu.utils.synth import strain_pair
+
+    ref, qry = strain_pair(5_000_000, seed=20260816, sub_rate=0.015,
+                           indel_rate=0.0015)
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    cfg = Config(min_length=20)
+    qp, qt = sm.query_to_device(qry)
+    m_p = int(qp.shape[0])
+    k = sm.choose_seed_k_sparse(index.n, m_p, 20, cfg.seed_length_cap)
+    stride = sm.choose_stride(k, 20)
+    refk, sa_aug = sm.seed_table(index, k)
+    ext_r = sm.ext_table(index)
+    print(json.dumps({"exp": "hlprof", "k": k, "stride": stride,
+                      "m_p": m_p, "n": int(index.n)}))
+    sys.stdout.flush()
+
+    def timed(label, fn, n=5):
+        fn()
+        best = 1e9
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({"exp": "hlprof", "label": label, "s": best}))
+        sys.stdout.flush()
+
+    pack = jax.jit(lambda q: sm.packed_key_words(q, k)[0][0])
+    timed("pack_all", lambda: jax.block_until_ready(pack(qt)))
+    timed("frontend_join", lambda: np.asarray(
+        sm.query_frontend(refk, qt, k, stride)[3]))
+    starts, shift, probes = sm.bucket_table(index, k)
+    print(json.dumps({"exp": "hlprof", "probes": probes}))
+    timed("frontend_bucket", lambda: np.asarray(
+        sm.query_frontend_bucket(refk, starts, qt, k, shift, probes,
+                                 stride)[3]))
+    for call in range(3):
+        t0 = time.perf_counter()
+        m = find_seed_matches(index, qry, cfg)
+        dt = time.perf_counter() - t0
+        print(json.dumps({"exp": "hlprof", "call": call, "s": dt,
+                          "matches": int(m.length.size), "stats": m.stats}))
+        sys.stdout.flush()
+    last_pairs, last_runs = sm._last_total(index, k, stride)
+    capacity = sm.capacity_bucket(last_pairs, 1 << 18,
+                                  int(cfg.pair_capacity_max))
+    run_cap = sm.capacity_bucket(last_runs or capacity // 16, 1 << 12,
+                                 int(cfg.pair_capacity_max) // 8)
+    use_bucket = sm.prefer_bucket(index.n, m_p // stride, len(refk), probes)
+    print(json.dumps({"exp": "hlprof", "capacity": capacity,
+                      "run_cap": run_cap, "use_bucket": bool(use_bucket)}))
+
+    def dispatch():
+        if use_bucket:
+            return sm.fused_query_bucket(index.text, refk, starts, sa_aug,
+                                         qt, k, capacity, run_cap, shift,
+                                         probes, "sort", stride, ext_r)[4]
+        return sm.fused_query(index.text, refk, sa_aug, qt, k, capacity,
+                              run_cap, "sort", stride, ext_r)[4]
+
+    timed("fused_dispatch_only", lambda: jax.block_until_ready(dispatch()))
+    timed("fused_plus_wire", lambda: np.asarray(dispatch()))
+
+
 if __name__ == "__main__":
     globals()[sys.argv[1]]()

@@ -270,16 +270,18 @@ def find_seed_matches_sharded(index: FMIndex, query_text: np.ndarray,
         return seed_mode.find_seed_matches(index, query_text, cfg)
     qp, qt = seed_mode.query_to_device(query_text)
     m = int(qp.shape[0])
-    k = choose_seed_k(index.n, m, cfg.min_length, cfg.seed_length_cap)
     # sparse seeding (engine/seed_mode.py choose_stride): same exactness
     # argument as the replicated path — pairs are partitioned by SA row, so
     # a run's samples may scatter over shards arbitrarily, but merge_runs
     # collapses ANY partition of a run's consecutive sample indices, and
     # extension happens once, post-merge
-    stride = 1
-    if (cfg.mode.value == "mem" and cfg.sparse_seeds != "off"
-            and cfg.match_backend == "sort"):
-        stride = seed_mode.choose_stride(k, cfg.min_length)
+    sparse_ok = (cfg.mode.value == "mem" and cfg.sparse_seeds != "off"
+                 and cfg.match_backend == "sort")
+    k = (seed_mode.choose_seed_k_sparse(index.n, m, cfg.min_length,
+                                        cfg.seed_length_cap) if sparse_ok
+         else choose_seed_k(index.n, m, cfg.min_length,
+                            cfg.seed_length_cap))
+    stride = seed_mode.choose_stride(k, cfg.min_length) if sparse_ok else 1
     refk_sh, sa_sh, starts_sh, shift, probes = shard_tables(index, k, mesh)
     ndev_f = len(mesh.devices.flat)
     slab = -(-index.n // ndev_f)

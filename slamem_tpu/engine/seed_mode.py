@@ -1148,6 +1148,35 @@ def choose_seed_k(n: int, m: int, min_length: int, cap: int) -> int:
     return k
 
 
+def choose_seed_k_sparse(n: int, m: int, min_length: int, cap: int) -> int:
+    """Seed depth for the sparse-seeded MEM path (stride chosen from K).
+
+    Two measured facts (scripts/tpu_experiments.py seedk_headline):
+    * At short L the stride bound S <= L-K+1 makes K itself the sampling
+      lever: K = L-6 (S = 7) ran 20% faster than K = L-4 (S = 5) at the
+      5 Mbp headline, while pushing further (S = 8, 9) REGRESSED despite
+      fewer samples and pairs — S = 7 is the sweet spot, kept for L <= 22.
+    * The collision term must count SAMPLED windows: noise ~ n*(m/S)/4^K.
+      The dense estimate n*m/4^16 sent chr1-scale queries to dual-word
+      K = 32 (30 bucket gathers per sample) when single-word K = 16 only
+      produces ~180K sampled collisions — well within one round.
+    Escalation to min(L, cap) (the dual-word frontend) happens exactly
+    when single-word sampled noise would exceed ~1M pairs per query.
+    """
+    def noise(k: int) -> float:
+        s = max(1, min(16, k, min_length - k + 1))
+        return float(n) * (float(m) / s) / float(4 ** k)
+
+    k = (min(min_length, 16, cap) if min_length >= 23
+         else min(min_length, cap, max(8, min(min_length - 6, 16))))
+    if noise(k) < (1 << 20):
+        return k
+    k16 = min(min_length, 16, cap)  # deepest single-word seed
+    if noise(k16) < (1 << 20):
+        return k16
+    return min(min_length, cap)     # dual-word frontend
+
+
 # Measured end-to-end frontend constants (scripts/tpu_experiments.py
 # chr21sparse + prof2, v5e): the FULL join frontend costs ~10 ns per
 # sorted row-column (raw sort is ~2 ns; concat, cumsum/cummax passes and
@@ -1189,15 +1218,18 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     """
     qp, qt = query_to_device(query_text)
     m_p = int(qp.shape[0])
-    k = choose_seed_k(index.n, m_p, cfg.min_length, cfg.seed_length_cap)
-    refk, sa_aug = seed_table(index, k)
     # sparse seeding: MEM-only (MUM/MAM occurrence counts need dense pair
     # tables) and sort-backend-only (boundary flags test window-adjacent
-    # chars, which is a dense-pair notion)
-    stride = 1
-    if (cfg.mode.value == "mem" and cfg.sparse_seeds != "off"
-            and cfg.match_backend == "sort"):
-        stride = choose_stride(k, cfg.min_length)
+    # chars, which is a dense-pair notion). The seed depth is chosen
+    # jointly with the stride it implies (choose_seed_k_sparse).
+    sparse_ok = (cfg.mode.value == "mem" and cfg.sparse_seeds != "off"
+                 and cfg.match_backend == "sort")
+    k = (choose_seed_k_sparse(index.n, m_p, cfg.min_length,
+                              cfg.seed_length_cap) if sparse_ok
+         else choose_seed_k(index.n, m_p, cfg.min_length,
+                            cfg.seed_length_cap))
+    refk, sa_aug = seed_table(index, k)
+    stride = choose_stride(k, cfg.min_length) if sparse_ok else 1
     ext_r = ext_table(index) if stride != 1 else None
     cap_cfg = int(cfg.pair_capacity)
     capacity = cap_cfg

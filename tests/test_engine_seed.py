@@ -375,7 +375,8 @@ def test_seed_matches_carry_roofline_stats():
     assert m.stats is not None
     assert m.stats["pairs"] > 0
     assert m.stats["rounds"] >= 1
-    assert m.stats["k"] == 12
+    # choose_seed_k_sparse: L=12 -> K=8 with stride 5
+    assert m.stats["k"] == 8
     assert m.stats["bytes_min"] > 0
     # multi-round path carries stats too
     m2 = find_seed_matches(idx, qry, Config(min_length=12,
@@ -451,9 +452,25 @@ def test_adaptive_run_cap_decoupled(monkeypatch):
     second = engine_tuples(index, np.asarray(qry, np.uint8), cfg)
     assert second == first
     # the repeat call sized pairs AND runs from their own observed counts
-    pairs, runs = seed_mode._last_total(index, 12, 1)
-    if runs is None:  # stride path may differ at this scale; k from cfg
-        pairs, runs = seed_mode._last_total(index, 12, 4)
+    (_sa, pairs, runs), = list(seed_mode._last_total_cache.values())
     assert len(calls) >= 2
     totals = [c[0] for c in calls]
     assert pairs in totals and runs in totals
+
+
+def test_choose_seed_k_sparse_policy():
+    from slamem_tpu.engine.seed_mode import choose_seed_k_sparse
+
+    # headline (5 Mbp, L=20): K = L-6 = 14 -> stride 7 (measured optimum)
+    assert choose_seed_k_sparse(5_000_000, 5_000_000, 20, 32) == 14
+    # chr21 (40 Mbp, L=50): full stride already at K=16, noise tiny
+    assert choose_seed_k_sparse(40_000_000, 40_000_000, 50, 32) == 16
+    # chr1-scale: SAMPLED noise (n*(m/16)/4^16 ~ 180K) keeps one word —
+    # the dense estimate wrongly escalated this to the dual-word frontend
+    assert choose_seed_k_sparse(250_000_000, 50_000_000, 50, 32) == 16
+    # truly collision-flooded single word escalates to two
+    assert choose_seed_k_sparse(3_000_000_000, 3_000_000_000, 50, 32) == 32
+    # cap respected
+    assert choose_seed_k_sparse(250_000_000, 50_000_000, 50, 12) == 12
+    # short L keeps K >= 8
+    assert choose_seed_k_sparse(1000, 1000, 10, 32) == 8
