@@ -275,10 +275,23 @@ def bucket_table(index: FMIndex, k: int):
         return hit[1], hit[2], hit[3]
     refk_words, _ = seed_table(index, k)
     word0_bits = 2 * min(k, 16)
-    bbits = min(word0_bits, 24)
-    shift = word0_bits - bbits
+    # Direct addressing: when ONE word holds the whole K-mer and the table
+    # fits next to the index (4^K + 1 int32 <= 64 * n), use bbits = 2K so a
+    # bucket is a single key and the interval IS [starts[b], starts[b+1]) —
+    # zero binary probes, 2 gathers per sample. At K = 14 that is a 1.07 GB
+    # table: cheap against chr-scale indexes, gated off for toy ones.
+    if word0_bits <= 28 and (1 << word0_bits) <= max(64 * index.n, 1 << 22):
+        bbits, shift = word0_bits, 0
+    else:
+        bbits = min(word0_bits, 24)
+        shift = word0_bits - bbits
     starts, max_bucket = _build_bucket_table(refk_words[0], bbits, shift)
-    probes = max(1, int(np.ceil(np.log2(max(int(max_bucket), 2)))) + 1)
+    # a bucket of full-word keys needs no refinement (k <= 16 means word 0
+    # is the entire K-mer; k <= 12 lands here through bbits = 24 too)
+    if len(refk_words) == 1 and shift == 0:
+        probes = 0
+    else:
+        probes = max(1, int(np.ceil(np.log2(max(int(max_bucket), 2)))) + 1)
     if len(_bucket_cache) > 8:
         _bucket_cache.clear()
     _bucket_cache[key] = (index.sa, starts, shift, probes)
@@ -301,6 +314,12 @@ def _bucket_intervals(refk, starts: jax.Array, qk,
         qk_w[0], jnp.asarray(shift, qk_w[0].dtype)).astype(jnp.int32)
     lo0 = starts[b]
     hi0 = starts[b + 1]
+    if probes == 0:
+        # direct-addressed table (bucket_table: bbits = full word-0 bits,
+        # single word): the bucket IS the key's equivalence class, so the
+        # bracket is the interval — no refinement search at all
+        width = jnp.where(qvalid, hi0 - lo0, 0).astype(jnp.int32)
+        return lo0.astype(jnp.int32), width
 
     def search(side_left):
         cmp = _lex_lt if side_left else _lex_le
@@ -1040,13 +1059,14 @@ class SeedMatches:
 
 
 def roofline_bytes(n: int, m: int, k_words: int, pairs: int,
-                   bucket: bool, stride: int = 1) -> int:
+                   bucket: bool, stride: int = 1, probes: int = 12) -> int:
     """LOWER-BOUND HBM bytes of one seed query (the roofline denominator).
 
     Exact components: the frontend either sorts the n+m combined key rows
     (k_words+1 int32 columns, one read + one write pass is the floor) or
-    bucket-probes refk (2 * ~12 probes * k_words gathers of 4 B per query
-    position, counted as m * probes * words * 4); the boundary backend then
+    bucket-probes refk (2 table gathers + 2 * probes * k_words refk gathers
+    of 4 B per query position — probes is the table's REAL refinement
+    count, 0 for a direct-addressed table); the boundary backend then
     gathers 4 B of sa_aug plus two ~1 B boundary characters per pair and
     streams the pair-wide flag cumsums (8 B read+write floor per pair). A
     sort makes several passes and gathers touch whole cache lines, so
@@ -1057,7 +1077,7 @@ def roofline_bytes(n: int, m: int, k_words: int, pairs: int,
     """
     m_rows = -(-m // stride)
     if bucket:
-        frontend = m_rows * 2 * 12 * k_words * 4
+        frontend = m_rows * (2 + 2 * probes * k_words) * 4
     else:
         frontend = (n + m_rows) * 4 * (k_words + 1) * 2
     expand = pairs * 4
@@ -1162,14 +1182,25 @@ def choose_seed_k_sparse(n: int, m: int, min_length: int, cap: int) -> int:
       produces ~180K sampled collisions — well within one round.
     Escalation to min(L, cap) (the dual-word frontend) happens exactly
     when single-word sampled noise would exceed ~1M pairs per query.
+
+    K = 14 is additionally the deepest DIRECT-ADDRESSABLE seed (bucket_table:
+    bbits = 2K, zero binary probes, 2 gathers per sample vs 2 + 2*probes).
+    At L >= 23 it is preferred over K = 16 whenever its table gate passes
+    (4^14 <= 64n) and its 16x-larger sampled noise stays within one
+    adaptive-capacity round (~4M pairs): the frontend saves ~10 gathers per
+    sample, the tail pays ~35 ms per extra million pair slots.
     """
     def noise(k: int) -> float:
         s = max(1, min(16, k, min_length - k + 1))
         return float(n) * (float(m) / s) / float(4 ** k)
 
-    k = (min(min_length, 16, cap) if min_length >= 23
-         else min(min_length, cap, max(8, min(min_length - 6, 16))))
-    if noise(k) < (1 << 20):
+    if min_length >= 23:
+        k = min(min_length, 16, cap)
+        if (cap >= 14 and (1 << 28) <= 64 * n and noise(14) < (4 << 20)):
+            k = 14
+    else:
+        k = min(min_length, cap, max(8, min(min_length - 6, 16)))
+    if noise(k) < (1 << 20) or (k == 14 and noise(k) < (4 << 20)):
         return k
     k16 = min(min_length, 16, cap)  # deepest single-word seed
     if noise(k16) < (1 << 20):
@@ -1268,8 +1299,10 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
         # bucket frontend when the table dwarfs the query batch (the join
         # re-sorts n + m entries, the bucket search is O(m log maxbucket))
         backend = cfg.match_backend
+        probes_used = 12
         if use_bucket:
             starts, shift, probes = bucket_table(index, k)
+            probes_used = probes
             lo, width, cum, summary, packed = fused_query_bucket(
                 index.text, refk, starts, sa_aug, qt, k,
                 capacity, run_cap, shift, probes, backend, stride, ext_r)
@@ -1290,7 +1323,8 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                        "stride": stride,
                        "bytes_min": roofline_bytes(
                            index.n, m_p, len(refk), total,
-                           bucket=use_bucket, stride=stride)})
+                           bucket=use_bucket, stride=stride,
+                           probes=probes_used)})
 
         fits = total <= min(capacity, np.iinfo(np.int32).max - 1)
         # run counts in the wire are exact only when the pair buffer held

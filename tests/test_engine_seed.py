@@ -463,11 +463,15 @@ def test_choose_seed_k_sparse_policy():
 
     # headline (5 Mbp, L=20): K = L-6 = 14 -> stride 7 (measured optimum)
     assert choose_seed_k_sparse(5_000_000, 5_000_000, 20, 32) == 14
-    # chr21 (40 Mbp, L=50): full stride already at K=16, noise tiny
-    assert choose_seed_k_sparse(40_000_000, 40_000_000, 50, 32) == 16
-    # chr1-scale: SAMPLED noise (n*(m/16)/4^16 ~ 180K) keeps one word —
-    # the dense estimate wrongly escalated this to the dual-word frontend
-    assert choose_seed_k_sparse(250_000_000, 50_000_000, 50, 32) == 16
+    # chr21 (40 Mbp, L=50): direct-addressable K=14 (zero-probe buckets),
+    # sampled noise ~430K well within one round
+    assert choose_seed_k_sparse(40_000_000, 40_000_000, 50, 32) == 14
+    # chr1-scale: K=14 noise ~3.3M still under the 4M direct budget
+    assert choose_seed_k_sparse(250_000_000, 50_000_000, 50, 32) == 14
+    # direct table gated by 4^14 <= 64n: small genome at L=50 keeps K=16
+    assert choose_seed_k_sparse(1_000_000, 1_000_000, 50, 32) == 16
+    # cap below 14 skips the direct preference
+    assert choose_seed_k_sparse(40_000_000, 40_000_000, 50, 13) == 13
     # truly collision-flooded single word escalates to two
     assert choose_seed_k_sparse(3_000_000_000, 3_000_000_000, 50, 32) == 32
     # cap respected
