@@ -83,12 +83,25 @@ def shard_tables(index: FMIndex, k: int, mesh: Mesh):
         sa_sh = jax.device_put(sa_p.reshape(ndev, slab), sh)
     # per-slab prefix-bucket tables: the slab frontend brackets each query
     # K-mer to its bucket and binary-searches only within it — ~log2(max
-    # bucket) probes instead of log2(slab) (the chr1-scale frontend cost)
+    # bucket) probes instead of log2(slab) (the chr1-scale frontend cost).
+    # Direct addressing (engine/seed_mode.py bucket_table, DESIGN.md §5e):
+    # when one word holds the whole K-mer and 4^K+1 int32 fits next to a
+    # slab, bbits = 2K makes the bucket the K-mer's class — zero probes.
+    # Slab pads (uint32-max rows) clamp into the last bucket and their
+    # invalid-flagged sa_aug drops them at expansion (_build_bucket_table).
     word0_bits = 2 * min(k, 16)
-    bbits = min(word0_bits, 20)
-    shift = word0_bits - bbits
+    if (len(refk_sh) == 1 and word0_bits <= 28
+            and (1 << word0_bits) <= max(64 * slab, 1 << 22)):
+        bbits, shift = word0_bits, 0
+    else:
+        bbits = min(word0_bits, 20)
+        shift = word0_bits - bbits
     starts_sh, maxb = _slab_bucket_tables(mesh, refk_sh[0], bbits, shift)
-    probes = max(1, int(np.ceil(np.log2(max(int(np.asarray(maxb)), 2)))) + 1)
+    if len(refk_sh) == 1 and shift == 0:
+        probes = 0
+    else:
+        probes = max(1, int(np.ceil(np.log2(
+            max(int(np.asarray(maxb)), 2)))) + 1)
     if len(_shard_tables_cache) > 8:
         _shard_tables_cache.clear()
     tables = (refk_sh, sa_sh, starts_sh, shift, probes)

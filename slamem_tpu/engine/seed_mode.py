@@ -258,10 +258,16 @@ def _build_bucket_table(refk0: jax.Array, bbits: int, shift: int):
     """
     n = refk0.shape[0]
     nb = 1 << bbits
+    # clamp in the UNSIGNED domain before the int32 cast: sharded slab pads
+    # are uint32-max rows, and at shift = 0 (direct table) they would cast
+    # to -1 and scatter into bucket 0; clamped they join the last bucket,
+    # where their sign-bit-invalid sa_aug drops them at pair expansion
     pref = jax.lax.shift_right_logical(
-        refk0, jnp.asarray(shift, refk0.dtype)).astype(jnp.int32)
+        refk0, jnp.asarray(shift, refk0.dtype))
+    pref = jnp.minimum(pref, jnp.asarray(nb - 1, refk0.dtype)
+                       ).astype(jnp.int32)
     starts = jnp.full((nb + 1,), n, jnp.int32).at[
-        jnp.clip(pref, 0, nb - 1)].min(jnp.arange(n, dtype=jnp.int32))
+        pref].min(jnp.arange(n, dtype=jnp.int32))
     starts = jax.lax.cummin(starts, reverse=True)
     max_bucket = jnp.max(starts[1:] - starts[:-1])
     return starts, max_bucket
