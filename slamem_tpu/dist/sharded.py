@@ -34,7 +34,7 @@ from slamem_tpu.config import Config
 from slamem_tpu.engine import seed_mode
 from slamem_tpu.engine.seed_mode import (
     RunBatch, SeedMatches, _bucket_intervals, _join_intervals,
-    choose_seed_k, packed_key_words, prefer_bucket, seed_table)
+    prefer_bucket, sampled_query_keys, seed_table)
 from slamem_tpu.index.build import FMIndex
 
 try:
@@ -141,10 +141,7 @@ def sharded_frontend(mesh: Mesh, refk_sh, starts_sh, qt: jax.Array, k: int,
 
     def step(refk_l, starts_l, qt):
         refk_w = tuple(w[0] for w in refk_l)
-        qk_w, qvalid = packed_key_words(qt, k)
-        if stride != 1:  # sparse seeding: per-slab intervals for samples
-            qk_w = tuple(w[::stride] for w in qk_w)
-            qvalid = qvalid[::stride]
+        qk_w, qvalid = sampled_query_keys(qt, k, stride)
         lo, w = _bucket_intervals(refk_w, starts_l[0], qk_w, qvalid,
                                   shift, probes)
         wmax = jax.lax.pmax(w, "q")
@@ -180,10 +177,7 @@ def sharded_frontend_join(mesh: Mesh, refk_sh, qt: jax.Array, k: int,
 
     def step(refk_l, qt):
         refk_w = tuple(w[0] for w in refk_l)
-        qk_w, qvalid = packed_key_words(qt, k)
-        if stride != 1:  # sparse seeding: per-slab intervals for samples
-            qk_w = tuple(w[::stride] for w in qk_w)
-            qvalid = qvalid[::stride]
+        qk_w, qvalid = sampled_query_keys(qt, k, stride)
         lo, w = _join_intervals(refk_w, qk_w, qvalid)
         wmax = jax.lax.pmax(w, "q")
         cum = jnp.cumsum(wmax.astype(jnp.int64))
@@ -287,14 +281,9 @@ def find_seed_matches_sharded(index: FMIndex, query_text: np.ndarray,
     # argument as the replicated path — pairs are partitioned by SA row, so
     # a run's samples may scatter over shards arbitrarily, but merge_runs
     # collapses ANY partition of a run's consecutive sample indices, and
-    # extension happens once, post-merge
-    sparse_ok = (cfg.mode.value == "mem" and cfg.sparse_seeds != "off"
-                 and cfg.match_backend == "sort")
-    k = (seed_mode.choose_seed_k_sparse(index.n, m, cfg.min_length,
-                                        cfg.seed_length_cap) if sparse_ok
-         else choose_seed_k(index.n, m, cfg.min_length,
-                            cfg.seed_length_cap))
-    stride = seed_mode.choose_stride(k, cfg.min_length) if sparse_ok else 1
+    # extension happens once, post-merge. choose_seed_plan is THE shared
+    # policy: replicated and sharded engines must agree on (k, stride).
+    k, stride, _sparse = seed_mode.choose_seed_plan(index.n, m, cfg)
     refk_sh, sa_sh, starts_sh, shift, probes = shard_tables(index, k, mesh)
     ndev_f = len(mesh.devices.flat)
     slab = -(-index.n // ndev_f)

@@ -162,7 +162,9 @@ def _want_pallas(rank_kernel: str) -> tuple[bool, bool]:
         return False, False
     import jax
 
-    return jax.devices()[0].platform not in ("cpu",), False
+    # Mosaic lowers only on TPU: 'auto' must not hand the kernel to a GPU
+    # or other non-TPU accelerator (they fall back to the XLA gather path)
+    return jax.devices()[0].platform == "tpu", False
 
 
 def scan_intervals(index: FMIndex, query_text: np.ndarray, L: int,

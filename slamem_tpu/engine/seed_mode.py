@@ -103,6 +103,22 @@ def packed_kmers(text: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     return words[0], valid
 
 
+def sampled_query_keys(qt: jax.Array, k: int, stride: int
+                       ) -> tuple[tuple[jax.Array, ...], jax.Array]:
+    """Packed query K-mer words at every stride-th position.
+
+    THE sparse-seeding sampling convention (choose_stride's exactness
+    argument depends on windows being exactly positions 0, S, 2S, ...):
+    every frontend — join/bucket, fused or not, replicated or per-slab —
+    must sample through this one helper so the convention cannot drift.
+    """
+    qk_w, qvalid = packed_key_words(qt, k)
+    if stride != 1:
+        qk_w = tuple(w[::stride] for w in qk_w)
+        qvalid = qvalid[::stride]
+    return qk_w, qvalid
+
+
 def _lex_lt(v: tuple[jax.Array, ...], q: tuple[jax.Array, ...]) -> jax.Array:
     """v < q word-lexicographically (tuples of equal-length uint32 arrays)."""
     lt = jnp.zeros(v[0].shape, jnp.bool_)
@@ -363,6 +379,24 @@ def augment_sa(sa: jax.Array, rowvalid: jax.Array) -> jax.Array:
 # Sparse seeding: stride-S query sampling + packed-word endpoint extension
 # ---------------------------------------------------------------------------
 
+def choose_seed_plan(n: int, m: int, cfg) -> tuple[int, int, bool]:
+    """(k, stride, sparse): the jointly-chosen seed depth and sampling.
+
+    THE single policy entry point — the replicated (find_seed_matches) and
+    SA-rank-sharded (dist/sharded.py) engines must agree on (k, stride) or
+    their caches and parity guarantees drift. Sparse seeding is MEM-only
+    (occurrence counts need dense pairs) and sort-backend-only (boundary
+    flags test window-adjacent chars, a dense-pair notion).
+    """
+    sparse = (cfg.mode.value == "mem" and cfg.sparse_seeds != "off"
+              and cfg.match_backend == "sort")
+    k = (choose_seed_k_sparse(n, m, cfg.min_length, cfg.seed_length_cap)
+         if sparse
+         else choose_seed_k(n, m, cfg.min_length, cfg.seed_length_cap))
+    stride = choose_stride(k, cfg.min_length) if sparse else 1
+    return k, stride, sparse
+
+
 def choose_stride(k: int, min_length: int) -> int:
     """Query-seed sampling stride S = min(16, K, L-K+1) — exact for MEMs.
 
@@ -588,10 +622,7 @@ def query_frontend(refk, qt: jax.Array, k: int, stride: int = 1):
     shipping the full width array to the host costs tens of MB per query on
     tunneled backends. stride > 1: intervals for SAMPLE positions only.
     """
-    qk_w, qvalid = packed_key_words(qt, k)
-    if stride != 1:
-        qk_w = tuple(w[::stride] for w in qk_w)
-        qvalid = qvalid[::stride]
+    qk_w, qvalid = sampled_query_keys(qt, k, stride)
     lo, width = _join_intervals(refk, qk_w, qvalid)
     cum = jnp.cumsum(width.astype(jnp.int64))
     summary = jnp.stack([cum[-1], jnp.max(width).astype(jnp.int64)])
@@ -603,10 +634,7 @@ def query_frontend(refk, qt: jax.Array, k: int, stride: int = 1):
 def query_frontend_bucket(refk, starts, qt: jax.Array, k: int, shift: int,
                           probes: int, stride: int = 1):
     """query_frontend with the bucket search instead of the sort join."""
-    qk_w, qvalid = packed_key_words(qt, k)
-    if stride != 1:
-        qk_w = tuple(w[::stride] for w in qk_w)
-        qvalid = qvalid[::stride]
+    qk_w, qvalid = sampled_query_keys(qt, k, stride)
     lo, width = _bucket_intervals(refk, starts, qk_w, qvalid, shift, probes)
     cum = jnp.cumsum(width.astype(jnp.int64))
     summary = jnp.stack([cum[-1], jnp.max(width).astype(jnp.int64)])
@@ -937,10 +965,7 @@ def fused_query(text, refk, sa_aug, qt, k: int, capacity: int,
     multi-round path with no recomputation. stride > 1 = sparse seeding
     (sampled query rows into the join, inline endpoint extension).
     """
-    qk_w, qvalid = packed_key_words(qt, k)
-    if stride != 1:
-        qk_w = tuple(w[::stride] for w in qk_w)
-        qvalid = qvalid[::stride]
+    qk_w, qvalid = sampled_query_keys(qt, k, stride)
     lo, width = _join_intervals(refk, qk_w, qvalid)
     return _fused_tail(text, qt, lo, width, sa_aug, qt.shape[0], k,
                        capacity, run_capacity, backend, stride, ext_r)
@@ -955,10 +980,7 @@ def fused_query_bucket(text, refk, starts, sa_aug, qt, k: int,
                        ext_r=None):
     """fused_query with the bucket frontend — for references much larger
     than the query batch, where the join would re-sort n + m entries."""
-    qk_w, qvalid = packed_key_words(qt, k)
-    if stride != 1:
-        qk_w = tuple(w[::stride] for w in qk_w)
-        qvalid = qvalid[::stride]
+    qk_w, qvalid = sampled_query_keys(qt, k, stride)
     lo, width = _bucket_intervals(refk, starts, qk_w, qvalid, shift, probes)
     return _fused_tail(text, qt, lo, width, sa_aug, qt.shape[0], k,
                        capacity, run_capacity, backend, stride, ext_r)
@@ -1255,18 +1277,8 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     """
     qp, qt = query_to_device(query_text)
     m_p = int(qp.shape[0])
-    # sparse seeding: MEM-only (MUM/MAM occurrence counts need dense pair
-    # tables) and sort-backend-only (boundary flags test window-adjacent
-    # chars, which is a dense-pair notion). The seed depth is chosen
-    # jointly with the stride it implies (choose_seed_k_sparse).
-    sparse_ok = (cfg.mode.value == "mem" and cfg.sparse_seeds != "off"
-                 and cfg.match_backend == "sort")
-    k = (choose_seed_k_sparse(index.n, m_p, cfg.min_length,
-                              cfg.seed_length_cap) if sparse_ok
-         else choose_seed_k(index.n, m_p, cfg.min_length,
-                            cfg.seed_length_cap))
+    k, stride, _sparse = choose_seed_plan(index.n, m_p, cfg)
     refk, sa_aug = seed_table(index, k)
-    stride = choose_stride(k, cfg.min_length) if sparse_ok else 1
     ext_r = ext_table(index) if stride != 1 else None
     cap_cfg = int(cfg.pair_capacity)
     capacity = cap_cfg
@@ -1357,9 +1369,13 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
         return pairs_to_matches(index, lo, width, k, m_p, cfg, mesh,
                                 sa_aug, cum=cum,
                                 summary=np.asarray(summary), qt=qt,
-                                stride=stride, ext_r=ext_r)
+                                stride=stride, ext_r=ext_r,
+                                frontend=(use_bucket, probes_used,
+                                          len(refk)))
+    probes_used = 12
     if use_bucket:
         starts, shift, probes = bucket_table(index, k)
+        probes_used = probes
         lo, width, cum, summary = query_frontend_bucket(
             refk, starts, qt, k, shift, probes, stride)
     else:
@@ -1369,14 +1385,17 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
         _set_last_total(index, k, int(summary_h[0]), stride=stride)
     return pairs_to_matches(index, lo, width, k, m_p, cfg, mesh, sa_aug,
                             cum=cum, summary=summary_h, qt=qt,
-                            stride=stride, ext_r=ext_r)
+                            stride=stride, ext_r=ext_r,
+                            frontend=(use_bucket, probes_used, len(refk)))
 
 
 def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                      m: int, cfg: Config, mesh=None,
                      sa_aug: jax.Array | None = None, cum=None,
                      summary=None, qt=None, stride: int = 1,
-                     ext_r=None) -> SeedMatches:
+                     ext_r=None,
+                     frontend: tuple[bool, int, int] | None = None
+                     ) -> SeedMatches:
     """Shared backend: intervals at depth k -> maximal matches >= min_length.
 
     Host-side planning slices query positions into rounds whose total pair
@@ -1395,6 +1414,14 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
     """
     if sa_aug is None:
         sa_aug = index.sa  # all rows valid
+    # (use_bucket, probes, k_words) of the frontend that PRODUCED lo/width —
+    # the roofline stats must charge the bytes actually spent, not a guess
+    # (a direct-addressed table is ~13x cheaper than the 12-probe default)
+    if frontend is None:
+        fr_bucket = prefer_bucket(index.n, m // max(stride, 1))
+        fr_probes, fr_words = 12, (2 if k > 16 else 1)
+    else:
+        fr_bucket, fr_probes, fr_words = frontend
     capacity = int(cfg.pair_capacity)
     if (summary is not None and capacity >= _GROWTH_MIN_CAPACITY
             and int(summary[0]) > 3 * capacity):
@@ -1456,13 +1483,18 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
         runs = bb.runs(m_off)
         length = runs.qend - runs.qstart + k
         keep = length >= cfg.min_length
+        # no device summary (scan-engine callers) means the pair count is
+        # unknown — omit stats rather than report pairs=-1 and bytes built
+        # from it (mirrors the sort tail's `if summary is not None` guard)
+        stats = None
+        if total_pairs >= 0:
+            stats = {"pairs": total_pairs, "k": k, "rounds": rounds,
+                     "bytes_min": roofline_bytes(
+                         index.n, m, fr_words, total_pairs,
+                         bucket=fr_bucket, probes=fr_probes)}
         return SeedMatches(
             refpos=(runs.diag + runs.qstart)[keep],
-            qpos=runs.qstart[keep], length=length[keep],
-            stats={"pairs": total_pairs, "k": k, "rounds": rounds,
-                   "bytes_min": roofline_bytes(
-                       index.n, m, 2 if k > 16 else 1, total_pairs,
-                       bucket=prefer_bucket(index.n, m))})
+            qpos=runs.qstart[keep], length=length[keep], stats=stats)
 
     if mesh is None or len(mesh.devices.flat) == 1:
         if use_boundary:
@@ -1630,13 +1662,12 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                                    k, m, diag_mod, cfg)
     if summary is not None:
         total_pairs = int(summary[0])
-        kw = 2 if k > 16 else 1
         matches.stats = {"pairs": total_pairs, "k": k,
                          "rounds": len(blocks), "stride": stride,
                          "bytes_min": roofline_bytes(
-                             index.n, m, kw, total_pairs,
-                             bucket=prefer_bucket(index.n, m // stride),
-                             stride=stride)}
+                             index.n, m, fr_words, total_pairs,
+                             bucket=fr_bucket, stride=stride,
+                             probes=fr_probes)}
     return matches
 
 
@@ -1761,8 +1792,9 @@ def apply_mode_filter(matches: SeedMatches, cfg: Config) -> SeedMatches:
     keep = ref_occurrence_counts(matches) == 1
     sub = SeedMatches(matches.refpos[keep], matches.qpos[keep],
                       matches.length[keep], matches.pairs_by_qpos,
-                      matches.pairs_by_refpos)
+                      matches.pairs_by_refpos, stats=matches.stats)
     if cfg.mode.value == "mam":
         return sub
     keep2 = query_occurrence_counts(sub) == 1
-    return SeedMatches(sub.refpos[keep2], sub.qpos[keep2], sub.length[keep2])
+    return SeedMatches(sub.refpos[keep2], sub.qpos[keep2], sub.length[keep2],
+                       stats=sub.stats)

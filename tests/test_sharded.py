@@ -71,11 +71,14 @@ def test_sharded_unique_modes_parity():
 def test_sharded_two_word_seeds_parity(monkeypatch):
     """Sharded slab search with dual-word K<=32 keys == replicated path."""
     from slamem_tpu.engine import seed_mode
-    from slamem_tpu.dist import sharded as sharded_mod
 
+    # choose_seed_plan is the ONE shared policy entry point (both engines
+    # route through it), so forcing the depth patches only seed_mode; both
+    # the dense and sparse choosers are forced so the MEM default (sparse)
+    # really runs dual-word keys (L=24 -> stride 1 via choose_stride)
     force = lambda n, m, L, cap: min(L, cap)
     monkeypatch.setattr(seed_mode, "choose_seed_k", force)
-    monkeypatch.setattr(sharded_mod, "choose_seed_k", force)
+    monkeypatch.setattr(seed_mode, "choose_seed_k_sparse", force)
     ref = with_n_runs(random_genome(5000, seed=90), 2, 40, seed=91)
     qry = with_n_runs(mutate(ref, 0.015, 0.0015, seed=92), 2, 25, seed=93)
     cfg = Config(min_length=24, pair_capacity=512)
