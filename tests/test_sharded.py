@@ -25,6 +25,28 @@ def test_sharded_equals_replicated():
     assert got == want and len(want) > 0
 
 
+def test_sharded_direct_table_top_bucket_pads():
+    """Slab pads share the top direct-table bucket with real all-T K-mers.
+
+    n chosen NOT divisible by 8 so the last slab carries uint32-max pad
+    rows; the reference ends in a long T run so the all-T K-mer (the
+    largest real key, clamped into the same bucket as the pads by
+    _build_bucket_table) has genuine matches. Pads must be dropped by
+    their invalid sa_aug, not change any interval."""
+    body = random_genome(4001, seed=85)
+    ref = np.concatenate([body, np.full(63, 3, body.dtype)])  # trailing T*63
+    qry = np.concatenate([mutate(body, 0.02, 0.002, seed=86),
+                          np.full(40, 3, body.dtype)])
+    idx = build_index(ref)
+    mesh = make_mesh(8)
+    assert idx.n % 8 != 0  # pads exist
+    want = tuples(find_seed_matches(idx, qry, Config(min_length=14)))
+    for fe in ("bucket", "join"):
+        cfg = Config(min_length=14, pair_capacity=512, frontend=fe)
+        got = tuples(find_seed_matches_sharded(idx, qry, cfg, mesh))
+        assert got == want and len(want) > 0
+
+
 def test_sharded_frontends_identical():
     """Per-slab sort join == per-slab bucket probes == replicated path."""
     ref = with_n_runs(random_genome(4000, seed=81), 2, 40, seed=82)
