@@ -86,7 +86,11 @@ def run_engine(ref_set: FastaSet, query_set: FastaSet, cfg: Config,
 
     def _emit(qi: int, rev: bool, m, qoff: int) -> None:
         nonlocal total
-        order = np.lexsort((m.refpos, m.qpos))
+        from slamem_tpu.engine.seed_mode import _sort_diag_qstart
+
+        # emission order is (qpos, refpos); the packed-key argsort is ~2x
+        # np.lexsort at chr-scale match counts
+        order = _sort_diag_qstart(m.qpos, m.refpos)
         refpos, qpos, length = (m.refpos[order], m.qpos[order] - qoff,
                                 m.length[order])
         seq_id, local = ref_set.locate_in_text(refpos, rstarts)

@@ -861,8 +861,8 @@ class BoundaryBatch:
         sq = np.concatenate(self.sq) if self.sq else np.zeros(0, np.int64)
         ed = np.concatenate(self.ed) if self.ed else np.zeros(0, np.int64)
         eq = np.concatenate(self.eq) if self.eq else np.zeros(0, np.int64)
-        os_ = np.lexsort((sq, sd))
-        oe_ = np.lexsort((eq, ed))
+        os_ = _sort_diag_qstart(sd, sq)
+        oe_ = _sort_diag_qstart(ed, eq)
         # k-th start on a diagonal pairs with k-th end: runs on a diagonal
         # are disjoint, so sorted-by-(diag, qpos) starts and ends align
         return RunBatch(sd[os_] - m_off, sq[os_], eq[oe_])
@@ -1047,6 +1047,31 @@ def runs_from_compacted32(run_d: np.ndarray, run_qs: np.ndarray,
                     run_qe[:n_runs].astype(np.int64))
 
 
+def _sort_diag_qstart(diag: np.ndarray, qstart: np.ndarray) -> np.ndarray:
+    """Order by (diag, qstart): one stable argsort of a packed int64 key.
+
+    2x faster than np.lexsort on random runs, more on multi-batch input
+    (timsort exploits the per-batch sortedness). Both columns are
+    non-negative and the shifted key fits int64 at any genome scale this
+    engine addresses (diag < 2^35, qstart < 2^28); falls back to lexsort
+    if a pathological input ever violates that.
+    """
+    if diag.size == 0:
+        return np.empty(0, np.int64)
+    dmin = int(diag.min())          # run diagonals are signed (biased by
+    qmin = int(qstart.min())        # -m_off); bias both into [0, span)
+    qspan = int(qstart.max()) - min(qmin, 0)
+    dspan = int(diag.max()) - min(dmin, 0)
+    shift = max(1, qspan.bit_length())
+    if qmin < 0 or dspan.bit_length() + shift > 63:
+        return np.lexsort((qstart, diag))  # pathological ranges only
+    d64 = diag.astype(np.int64)
+    if dmin < 0:
+        d64 = d64 - np.int64(dmin)
+    key = (d64 << np.int64(shift)) | qstart.astype(np.int64)
+    return np.argsort(key, kind="stable")
+
+
 def merge_runs(batches: list[RunBatch]) -> RunBatch:
     """Merge per-round runs whose spans abut across round boundaries.
 
@@ -1060,7 +1085,7 @@ def merge_runs(batches: list[RunBatch]) -> RunBatch:
     qend = np.concatenate([b.qend for b in batches])
     if diag.size == 0:
         return RunBatch(diag, qstart, qend)
-    order = np.lexsort((qstart, diag))
+    order = _sort_diag_qstart(diag, qstart)
     diag, qstart, qend = diag[order], qstart[order], qend[order]
     new = np.empty(diag.size, dtype=bool)
     new[0] = True
@@ -1734,7 +1759,7 @@ def finalize_matches(batches: list[RunBatch],
         else:
             pq = pr = np.zeros(0, np.int64)
         pdiag = pr - pq
-        ro = np.lexsort((runs.qstart, runs.diag))
+        ro = _sort_diag_qstart(runs.diag, runs.qstart)
         rdiag, rqs, rqe = runs.diag[ro], runs.qstart[ro], runs.qend[ro]
         idx = np.searchsorted(
             rdiag * np.int64(diag_mod) + rqs,
