@@ -166,6 +166,39 @@ def run_chr1_bench(size: int = 250_000_000, query_bp: int = 50_000_000,
     return res
 
 
+def run_mam_bench(size: int = 5_000_000, minlen: int = 20,
+                  repeats: int = 2) -> dict:
+    """BASELINE config #3: MAM (reference-unique) mode on the E. coli pair.
+
+    The dense pair tables MUM/MAM occurrence counts need disable sparse
+    seeding, so this also exercises the dense frontend + host filter path.
+    """
+    import jax
+
+    from slamem_tpu.config import Config, MatchMode
+    from slamem_tpu.engine.seed_mode import apply_mode_filter, \
+        find_seed_matches
+    from slamem_tpu.index.build import build_index
+
+    ref, qry = build_inputs(size)
+    cfg = Config(min_length=minlen, mode=MatchMode.MAM)
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    m = apply_mode_filter(find_seed_matches(index, qry, cfg), cfg)  # warmup
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        m = apply_mode_filter(find_seed_matches(index, qry, cfg), cfg)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return {
+        "mbp_per_s": len(qry) / 1e6 / dt,
+        "query_s": dt,
+        "matches": int(m.length.size),
+        "device": str(jax.devices()[0]),
+    }
+
+
 def run_rank_bench(size: int = 5_000_000, batch: int = 1 << 20,
                    repeats: int = 3) -> dict:
     """Pallas rank/occ kernel roofline: exactly 512 B HBM per query."""
@@ -231,6 +264,7 @@ def main() -> int:
         detail = {"headline_5mbp_l20": run_bench(SIZE, MINLEN)}
         detail["chr21_40mbp_l50"] = run_bench(40_000_000, 50, repeats=2)
         for key, fn in (("config2_10strains_l30", run_config2_bench),
+                        ("config3_mam_l20", run_mam_bench),
                         ("chr1_250mbp_l50", run_chr1_bench),
                         ("rank_kernel", run_rank_bench)):
             try:
