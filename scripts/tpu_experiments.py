@@ -250,7 +250,6 @@ def chr21prof():
 
 def scan():
     from slamem_tpu.config import Config
-    from slamem_tpu.engine.run import run_engine
     from slamem_tpu.engine.scan_mode import find_scan_matches
     from slamem_tpu.index.build import build_index
     from slamem_tpu.utils.synth import mutate, random_genome

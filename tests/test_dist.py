@@ -6,9 +6,9 @@ import jax
 from slamem_tpu.config import Config
 from slamem_tpu.dist.mesh import make_mesh, put_replicated
 from slamem_tpu.engine.run import run_engine
-from slamem_tpu.engine.seed_mode import apply_mode_filter, find_seed_matches
+from slamem_tpu.engine.seed_mode import find_seed_matches
 from slamem_tpu.index.build import build_index
-from slamem_tpu.io import FastaSet, Sequence, parse_fasta_bytes, write_fasta
+from slamem_tpu.io import FastaSet
 from slamem_tpu.report.format import format_matches
 from slamem_tpu.utils.synth import mutate, random_genome
 

@@ -3,7 +3,7 @@
 import numpy as np
 
 from slamem_tpu.io import (
-    CODE_SEP, FastaSet, codes_to_str, parse_fasta_bytes, read_fasta,
+    CODE_SEP, codes_to_str, parse_fasta_bytes, read_fasta,
     revcomp_codes, str_to_codes, write_fasta, Sequence,
 )
 

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 
 from slamem_tpu.io import str_to_codes, parse_fasta_bytes
 from slamem_tpu.index.build import (
-    FMIndex, backward_step, build_index, rank_batch, BWT_SENTINEL)
+    backward_step, build_index, rank_batch, BWT_SENTINEL)
 
 
 def naive_sa(text: np.ndarray) -> np.ndarray:
