@@ -799,3 +799,33 @@ def hlprof():
 
 if __name__ == "__main__":
     globals()[sys.argv[1]]()
+
+
+def chr21k():
+    """chr21-scale seed-cap sweep {16, 14, 13}: validates the round-2
+    direct-addressed K=14 preference (DESIGN.md §5e) on the real chip."""
+    import jax
+
+    from slamem_tpu.config import Config
+    from slamem_tpu.engine.seed_mode import find_seed_matches
+    from slamem_tpu.index.build import build_index
+    from slamem_tpu.utils.synth import strain_pair
+
+    ref, qry = strain_pair(40_000_000, seed=20260816, sub_rate=0.015,
+                           indel_rate=0.0015)
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    for cap in (16, 14, 13):
+        cfg = Config(min_length=50, seed_length_cap=cap)
+        find_seed_matches(index, qry, cfg)
+        best, stats, m = 1e9, None, None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            m = find_seed_matches(index, qry, cfg)
+            dt = time.perf_counter() - t0
+            if dt < best:
+                best, stats = dt, m.stats
+        print(json.dumps({"exp": "chr21k", "cap": cap, "s": best,
+                          "mbp_per_s": len(qry) / 1e6 / best,
+                          "matches": int(m.length.size), "stats": stats}))
+        sys.stdout.flush()
