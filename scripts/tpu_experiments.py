@@ -797,10 +797,6 @@ def hlprof():
     timed("fused_plus_wire", lambda: np.asarray(dispatch()))
 
 
-if __name__ == "__main__":
-    globals()[sys.argv[1]]()
-
-
 def chr21k():
     """chr21-scale seed-cap sweep {16, 14, 13}: validates the round-2
     direct-addressed K=14 preference (DESIGN.md §5e) on the real chip."""
@@ -829,3 +825,7 @@ def chr21k():
                           "mbp_per_s": len(qry) / 1e6 / best,
                           "matches": int(m.length.size), "stats": stats}))
         sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    globals()[sys.argv[1]]()
