@@ -827,5 +827,82 @@ def chr21k():
         sys.stdout.flush()
 
 
+def profscale():
+    """Stage profile of the production fused path at an arbitrary scale:
+    `profscale <size_mbp> <minlen>` (defaults 40, 50 = the chr21 config).
+
+    Times, device-grounded: the bucket frontend alone, the fused dispatch
+    alone, dispatch + wire fetch, and the full production call — the same
+    split hlprof gives the 5 Mbp headline, at whatever scale the next
+    bottleneck hunt needs."""
+    import jax
+
+    from slamem_tpu.config import Config
+    from slamem_tpu.engine import seed_mode as sm
+    from slamem_tpu.engine.seed_mode import find_seed_matches
+    from slamem_tpu.index.build import build_index
+    from slamem_tpu.utils.synth import strain_pair
+
+    size = int(float(sys.argv[2]) * 1e6) if len(sys.argv) > 2 else 40_000_000
+    minlen = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+    ref, qry = strain_pair(size, seed=20260816, sub_rate=0.015,
+                           indel_rate=0.0015)
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    cfg = Config(min_length=minlen)
+    qp, qt = sm.query_to_device(qry)
+    m_p = int(qp.shape[0])
+    k, stride, _ = sm.choose_seed_plan(index.n, m_p, cfg)
+    refk, sa_aug = sm.seed_table(index, k)
+    ext_r = sm.ext_table(index) if stride != 1 else None
+    starts, shift, probes = sm.bucket_table(index, k)
+    print(json.dumps({"exp": "profscale", "size": size, "minlen": minlen,
+                      "k": k, "stride": stride, "probes": probes,
+                      "m_p": m_p}))
+    sys.stdout.flush()
+
+    def timed(label, fn, n=3):
+        fn()
+        best = 1e9
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({"exp": "profscale", "label": label, "s": best}))
+        sys.stdout.flush()
+
+    pack = jax.jit(functools.partial(sm.sampled_query_keys, k=k,
+                                     stride=stride))
+    timed("pack_sampled", lambda: jax.block_until_ready(pack(qt)))
+    front = jax.jit(functools.partial(
+        sm.query_frontend_bucket, k=k, shift=shift, probes=probes,
+        stride=stride))
+    timed("frontend_bucket_dev", lambda: jax.block_until_ready(
+        front(refk, starts, qt)[1]))
+    for call in range(3):
+        t0 = time.perf_counter()
+        m = find_seed_matches(index, qry, cfg)
+        dt = time.perf_counter() - t0
+        print(json.dumps({"exp": "profscale", "call": call, "s": dt,
+                          "matches": int(m.length.size), "stats": m.stats}))
+        sys.stdout.flush()
+    last_pairs, last_runs = sm._last_total(index, k, stride)
+    capacity = sm.capacity_bucket(last_pairs, 1 << 18,
+                                  int(cfg.pair_capacity_max))
+    run_cap = sm.capacity_bucket(last_runs or capacity // 16, 1 << 12,
+                                 int(cfg.pair_capacity_max) // 8)
+    print(json.dumps({"exp": "profscale", "capacity": capacity,
+                      "run_cap": run_cap, "last_pairs": last_pairs,
+                      "last_runs": last_runs}))
+
+    def dispatch():
+        return sm.fused_query_bucket(index.text, refk, starts, sa_aug, qt,
+                                     k, capacity, run_cap, shift, probes,
+                                     "sort", stride, ext_r)[4]
+
+    timed("fused_dispatch_only", lambda: jax.block_until_ready(dispatch()))
+    timed("fused_plus_wire", lambda: np.asarray(dispatch()))
+
+
 if __name__ == "__main__":
     globals()[sys.argv[1]]()

@@ -170,22 +170,27 @@ _last_total_cache: dict[tuple[int, int], tuple] = {}
 
 
 def _last_total(index: FMIndex, k: int, stride: int = 1
-                ) -> tuple[int, int | None]:
-    """Last observed (pair count, run count) for (index, k, stride);
-    guarded by array identity like the sibling caches (a recycled id() must
-    not mis-steer the fused-skip heuristic). runs is None when the last
-    call went through a path that never measured it."""
+                ) -> tuple[int, int | None, int | None]:
+    """Last observed (pair count, run count, kept-run count) for
+    (index, k, stride); guarded by array identity like the sibling caches
+    (a recycled id() must not mis-steer the fused-skip heuristic). runs /
+    kept are None when the last call went through a path that never
+    measured them. kept counts runs surviving the min-length filter — it
+    sizes the fused wire (the filter runs on device, so only kept triples
+    cross the tunnel)."""
     hit = _last_total_cache.get((id(index.sa), k, stride))
     if hit is not None and hit[0] is index.sa:
-        return hit[1], hit[2]
-    return 0, None
+        return hit[1], hit[2], hit[3]
+    return 0, None, None
 
 
 def _set_last_total(index: FMIndex, k: int, total: int,
-                    runs: int | None = None, stride: int = 1) -> None:
+                    runs: int | None = None, stride: int = 1,
+                    kept: int | None = None) -> None:
     if len(_last_total_cache) > 16:
         _last_total_cache.clear()
-    _last_total_cache[(id(index.sa), k, stride)] = (index.sa, total, runs)
+    _last_total_cache[(id(index.sa), k, stride)] = (index.sa, total, runs,
+                                                    kept)
 
 # fallback rounds may grow their buffers (amortizing dispatch overhead) only
 # when the configured capacity is at least this — deliberately small
@@ -907,16 +912,25 @@ def expand_block_to_runs(sa_aug, lo_full, w_full, start, limit,
 
 def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
                 run_capacity: int, backend: str, stride: int = 1,
-                ext_r=None):
+                ext_r=None, kept_capacity: int | None = None,
+                minlen: int = 0):
     """Shared fused-query tail: expansion + run extraction, ONE int32 wire.
 
-    backend "sort": run triples (3 x run_capacity) + [n_runs, total, max_w];
-    backend "boundary": start/end events (4 x run_capacity) +
-    [n_starts, n_ends, total, max_w]. The exact int64 cum/summary stay
-    device-resident for the overflow path. With stride > 1 (sparse
-    seeding, sort backend only) run cores are extended to exact boundaries
-    in the same dispatch — the wire format is unchanged and already
-    position-space.
+    backend "sort": kept-run triples (3 x kept_capacity) +
+    [n_kept, n_runs, total, max_w]; backend "boundary": start/end events
+    (4 x run_capacity) + [n_starts, n_ends, total, max_w]. The exact int64
+    cum/summary stay device-resident for the overflow path. With stride > 1
+    (sparse seeding, sort backend only) run cores are extended to exact
+    boundaries in the same dispatch — the wire is already position-space.
+
+    The min-length filter runs ON DEVICE (sort backend): only runs with
+    k + qend - qstart >= minlen are compacted into the kept buffer, so the
+    wire carries kept triples, not raw runs. Measured at chr21 scale the
+    raw wire was 3 x 1M int32 = 12.6 MB (~0.25 s of a 0.73 s query over
+    the tunnel) while only ~287K of 896K runs survive the filter —
+    kept_capacity tracks last call's kept count (find_seed_matches) the
+    same way run_capacity tracks raw runs. minlen=0 keeps every run
+    (n_kept == n_runs), preserving the pre-filter wire semantics.
     """
     cum = jnp.cumsum(width.astype(jnp.int64))
     summary = jnp.stack([cum[-1], jnp.max(width).astype(jnp.int64)])
@@ -943,18 +957,34 @@ def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
                 stride, k)
             # re-encode with the wire's m_off convention: qstart rides the
             # diag column's slot, so only the q columns changed
-        packed = jnp.concatenate([run_d, run_qs, run_qe,
-                                  jnp.stack([n_runs.astype(jnp.int32)]),
+        kcap = run_capacity if kept_capacity is None else kept_capacity
+        slot = jnp.arange(run_capacity, dtype=jnp.int32)
+        length = run_qe - run_qs + jnp.int32(k)  # dense-run convention
+        keep = (slot < n_runs) & (length >= jnp.int32(minlen))
+        kidx = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        n_kept = kidx[-1] + 1  # == sum(keep); run_capacity >= 1 always
+        tgt = jnp.where(keep, kidx, jnp.int32(kcap))
+        kd = jnp.full((kcap,), -1, jnp.int32).at[tgt].set(
+            run_d, mode="drop")
+        kqs = jnp.full((kcap,), -1, jnp.int32).at[tgt].set(
+            run_qs, mode="drop")
+        kqe = jnp.full((kcap,), -1, jnp.int32).at[tgt].set(
+            run_qe, mode="drop")
+        packed = jnp.concatenate([kd, kqs, kqe,
+                                  jnp.stack([n_kept.astype(jnp.int32),
+                                             n_runs.astype(jnp.int32)]),
                                   clipped])
     return lo, width, cum, summary, packed
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "capacity", "run_capacity",
-                                    "backend", "stride"))
+                                    "backend", "stride", "kept_capacity",
+                                    "minlen"))
 def fused_query(text, refk, sa_aug, qt, k: int, capacity: int,
                 run_capacity: int, backend: str = "sort", stride: int = 1,
-                ext_r=None):
+                ext_r=None, kept_capacity: int | None = None,
+                minlen: int = 0):
     """Whole MEM query in ONE dispatch for the common single-round case.
 
     Packs K-mers, joins intervals, expands and extracts runs optimistically
@@ -968,22 +998,26 @@ def fused_query(text, refk, sa_aug, qt, k: int, capacity: int,
     qk_w, qvalid = sampled_query_keys(qt, k, stride)
     lo, width = _join_intervals(refk, qk_w, qvalid)
     return _fused_tail(text, qt, lo, width, sa_aug, qt.shape[0], k,
-                       capacity, run_capacity, backend, stride, ext_r)
+                       capacity, run_capacity, backend, stride, ext_r,
+                       kept_capacity, minlen)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "capacity", "run_capacity", "shift",
-                                    "probes", "backend", "stride"))
+                                    "probes", "backend", "stride",
+                                    "kept_capacity", "minlen"))
 def fused_query_bucket(text, refk, starts, sa_aug, qt, k: int,
                        capacity: int, run_capacity: int, shift: int,
                        probes: int, backend: str = "sort", stride: int = 1,
-                       ext_r=None):
+                       ext_r=None, kept_capacity: int | None = None,
+                       minlen: int = 0):
     """fused_query with the bucket frontend — for references much larger
     than the query batch, where the join would re-sort n + m entries."""
     qk_w, qvalid = sampled_query_keys(qt, k, stride)
     lo, width = _bucket_intervals(refk, starts, qk_w, qvalid, shift, probes)
     return _fused_tail(text, qt, lo, width, sa_aug, qt.shape[0], k,
-                       capacity, run_capacity, backend, stride, ext_r)
+                       capacity, run_capacity, backend, stride, ext_r,
+                       kept_capacity, minlen)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "block", "stride"))
@@ -1308,7 +1342,7 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     cap_cfg = int(cfg.pair_capacity)
     capacity = cap_cfg
     run_cap = max(4096, capacity // 16)
-    last_pairs, last_runs = _last_total(index, k, stride)
+    last_pairs, last_runs, last_kept = _last_total(index, k, stride)
     if (last_pairs and cap_cfg >= _GROWTH_MIN_CAPACITY
             and last_runs is not None):
         # Track the observed workload: snap the pair and run buffers
@@ -1327,6 +1361,11 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
         run_cap = capacity_bucket(
             last_runs, 1 << 12,
             max(cap_cfg, int(cfg.pair_capacity_max)) // 8)
+    # the wire carries only runs that survive the device-side min-length
+    # filter; its buffer tracks last call's kept count (<= raw runs)
+    kept_cap = run_cap
+    if last_kept is not None:
+        kept_cap = min(run_cap, capacity_bucket(last_kept, 1 << 12, run_cap))
     skip_fused = (last_pairs > capacity
                   or (last_runs is not None and last_runs > run_cap))
     m_s = m_p // stride
