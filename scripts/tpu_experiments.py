@@ -673,7 +673,7 @@ def chr21sparse():
         print(json.dumps({"exp": "chr21sparse", "call": call, "s": dt,
                           "matches": int(m.length.size), "stats": m.stats}))
         sys.stdout.flush()
-    last_pairs, last_runs = sm._last_total(index, k, stride)
+    last_pairs, last_runs, _kept = sm._last_total(index, k, stride)
     capacity = sm.capacity_bucket(max(last_pairs, 16 * (last_runs or 1)),
                                   1 << 18, int(cfg.pair_capacity_max))
     run_cap = max(4096, capacity // 16)
@@ -776,7 +776,7 @@ def hlprof():
         print(json.dumps({"exp": "hlprof", "call": call, "s": dt,
                           "matches": int(m.length.size), "stats": m.stats}))
         sys.stdout.flush()
-    last_pairs, last_runs = sm._last_total(index, k, stride)
+    last_pairs, last_runs, _kept = sm._last_total(index, k, stride)
     capacity = sm.capacity_bucket(last_pairs, 1 << 18,
                                   int(cfg.pair_capacity_max))
     run_cap = sm.capacity_bucket(last_runs or capacity // 16, 1 << 12,
@@ -886,7 +886,7 @@ def profscale():
         print(json.dumps({"exp": "profscale", "call": call, "s": dt,
                           "matches": int(m.length.size), "stats": m.stats}))
         sys.stdout.flush()
-    last_pairs, last_runs = sm._last_total(index, k, stride)
+    last_pairs, last_runs, _kept = sm._last_total(index, k, stride)
     capacity = sm.capacity_bucket(last_pairs, 1 << 18,
                                   int(cfg.pair_capacity_max))
     run_cap = sm.capacity_bucket(last_runs or capacity // 16, 1 << 12,

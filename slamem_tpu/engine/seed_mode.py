@@ -931,6 +931,13 @@ def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
     kept_capacity tracks last call's kept count (find_seed_matches) the
     same way run_capacity tracks raw runs. minlen=0 keeps every run
     (n_kept == n_runs), preserving the pre-filter wire semantics.
+
+    Overflow contract: when n_kept > kept_capacity the scatter silently
+    drops the excess (mode='drop') while the wire still reports the full
+    n_kept — consumers MUST check n_kept <= kept_capacity before slicing
+    and otherwise fall through to the multi-round path, mirroring the
+    n_runs > run_capacity check. n_kept itself is exact only when
+    n_runs <= run_capacity (the keep flags only see compacted slots).
     """
     cum = jnp.cumsum(width.astype(jnp.int64))
     summary = jnp.stack([cum[-1], jnp.max(width).astype(jnp.int64)])
@@ -1382,16 +1389,19 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
         # re-sorts n + m entries, the bucket search is O(m log maxbucket))
         backend = cfg.match_backend
         probes_used = 12
+        minlen = int(cfg.min_length)
         if use_bucket:
             starts, shift, probes = bucket_table(index, k)
             probes_used = probes
             lo, width, cum, summary, packed = fused_query_bucket(
                 index.text, refk, starts, sa_aug, qt, k,
-                capacity, run_cap, shift, probes, backend, stride, ext_r)
+                capacity, run_cap, shift, probes, backend, stride, ext_r,
+                kept_capacity=kept_cap, minlen=minlen)
         else:
             lo, width, cum, summary, packed = fused_query(
                 index.text, refk, sa_aug, qt, k, capacity,
-                run_cap, backend, stride, ext_r)
+                run_cap, backend, stride, ext_r,
+                kept_capacity=kept_cap, minlen=minlen)
         wire = np.asarray(packed)  # the one round trip
         total, max_w = int(wire[-2]), int(wire[-1])
 
@@ -1423,13 +1433,17 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                        wire[3 * run_cap:4 * run_cap], ns, ne)
                 return _fused_result(bb.runs(m_p + 1))
         else:
-            n_runs = int(wire[-3])
+            n_kept, n_runs = int(wire[-4]), int(wire[-3])
+            # n_kept counts keep-flags over compacted run slots, so it is
+            # exact only when the raw run buffer held every run; a truncated
+            # round must not poison the kept-buffer prediction either
+            runs_exact = fits and n_runs <= run_cap
             _set_last_total(index, k, total, n_runs if fits else None,
-                            stride)
-            if fits and n_runs <= run_cap:
+                            stride, kept=n_kept if runs_exact else None)
+            if runs_exact and n_kept <= kept_cap:
                 return _fused_result(runs_from_compacted32(
-                    wire[:run_cap], wire[run_cap:2 * run_cap],
-                    wire[2 * run_cap:3 * run_cap], n_runs, m_p + 1))
+                    wire[:kept_cap], wire[kept_cap:2 * kept_cap],
+                    wire[2 * kept_cap:3 * kept_cap], n_kept, m_p + 1))
         return pairs_to_matches(index, lo, width, k, m_p, cfg, mesh,
                                 sa_aug, cum=cum,
                                 summary=np.asarray(summary), qt=qt,

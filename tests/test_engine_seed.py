@@ -452,10 +452,14 @@ def test_adaptive_run_cap_decoupled(monkeypatch):
     second = engine_tuples(index, np.asarray(qry, np.uint8), cfg)
     assert second == first
     # the repeat call sized pairs AND runs from their own observed counts
-    (_sa, pairs, runs), = list(seed_mode._last_total_cache.values())
+    (_sa, pairs, runs, kept), = list(seed_mode._last_total_cache.values())
     assert len(calls) >= 2
     totals = [c[0] for c in calls]
     assert pairs in totals and runs in totals
+    # the device-side min-length filter recorded its kept count too, and
+    # the repeat call sized the kept wire from it
+    assert kept is not None and 0 < kept <= runs
+    assert kept in totals
 
 
 def test_choose_seed_k_sparse_policy():
