@@ -34,7 +34,8 @@ Options:
   -plot <file>  write a BMP dot-plot of the matches
   -save <file>  save the built index (npz) and exit if no query given
   -load <file>  load a previously saved index instead of rebuilding
-  -engine <e>   query engine: seed (default) or scan
+  -engine <e>   query engine: seed (default) or scan (single-device
+                parity/reference engine, orders slower; no -shard/mesh)
   -shard        shard the index by SA-rank range over all devices
                 (chr1-scale references; BASELINE config #5)
   -sparse <s>   sparse seeding: auto (default) or off (A/B surface;
@@ -145,11 +146,17 @@ def main(argv: list[str] | None = None) -> int:
     # Imports deferred so `-h` stays fast (jax init can be slow over tunnels).
     import numpy as np
 
+    from slamem_tpu.dist.mesh import (initialize_multihost, is_output_process,
+                                      make_mesh)
     from slamem_tpu.engine.run import run_engine
     from slamem_tpu.index.build import build_index
     from slamem_tpu.index.serialize import load_index, save_index
     from slamem_tpu.io.fasta import FastaSet, read_fasta
     from slamem_tpu.report.format import format_matches
+
+    # Join the multi-host runtime (if launched on a pod slice) BEFORE any
+    # jax computation — jax.distributed.initialize must precede backend use.
+    multihost = initialize_multihost()
 
     try:
         ref_set = read_fasta(ref_path)
@@ -170,9 +177,11 @@ def main(argv: list[str] | None = None) -> int:
     elif extras["save_index"] or query_paths:
         index = build_index(rtext, cfg.occ_block)
     if extras["save_index"]:
-        save_index(extras["save_index"], index)
-        if cfg.verbose:
-            print(f"index saved to {extras['save_index']}", file=sys.stderr)
+        if is_output_process():
+            save_index(extras["save_index"], index)
+            if cfg.verbose:
+                print(f"index saved to {extras['save_index']}",
+                      file=sys.stderr)
         if not query_paths:
             return 0
 
@@ -188,14 +197,20 @@ def main(argv: list[str] | None = None) -> int:
         query_set = FastaSet(names=names, starts=starts, lengths=lengths,
                              codes=codes)
 
+    # A pod-slice launch always runs on the global mesh (data-parallel query
+    # stream + collective merge); single host only builds one for -shard.
     mesh = None
-    if cfg.shard_index:
+    if cfg.shard_index or multihost:
         import jax
 
-        from slamem_tpu.dist.mesh import make_mesh
-
         mesh = make_mesh(len(jax.devices()))
-    out = run_engine(ref_set, query_set, cfg, index=index, mesh=mesh)
+    try:
+        out = run_engine(ref_set, query_set, cfg, index=index, mesh=mesh)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    if not is_output_process():
+        return 0  # every host computed (SPMD); only process 0 emits
     text = format_matches(out)
     out_path = cfg.out_path or default_out_path(query_paths, cfg)
     if out_path == "-":

@@ -36,6 +36,17 @@ def initialize_multihost() -> bool:
     return jax.process_count() > 1
 
 
+def is_output_process() -> bool:
+    """True on the process that owns side effects (files, stdout).
+
+    SPMD launch runs the identical program on every host; exactly one must
+    write the listing/dotplot or a pod run emits duplicates (SURVEY.md §5
+    distributed backend; BASELINE north star "multi-host v5e pod slice").
+    Single-process runs are trivially process 0.
+    """
+    return jax.process_index() == 0
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "q") -> Mesh:
     devices = jax.devices()
     n = n_devices if n_devices is not None else len(devices)

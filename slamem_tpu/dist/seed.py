@@ -25,22 +25,19 @@ except AttributeError:  # pragma: no cover
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mesh", "capacity", "block",
-                                    "all_gather_keys"))
+                   static_argnames=("mesh", "capacity", "block"))
 def sharded_expand_sort(mesh: Mesh, sa_aug: jax.Array,
                         lo_ext: jax.Array, w_ext: jax.Array,
                         starts: jax.Array, limits: jax.Array,
-                        m_off, capacity: int, block: int,
-                        all_gather_keys: bool = False):
+                        m_off, capacity: int, block: int):
     """Expand ndev fixed-size blocks at once -> [ndev, capacity] int32 pairs.
 
     lo_ext/w_ext are the full (block-padded) interval arrays, replicated;
     each shard receives only its (start, limit) scalars and slices its block
     inside the program — fixed shapes, one compile, near-zero host traffic.
-    With all_gather_keys=True every shard also receives the full key set
-    (the BASELINE "hits merged via all_gather before emission" path used in
-    multi-host runs where only host 0 formats output); the psum'd total pair
-    count always rides along as the cross-shard statistic.
+    The psum'd total pair count rides along as the cross-shard statistic.
+    (Raw-pair all_gather merging was superseded by the run-triple collective
+    merge in expand_runs_gathered — the production emission path.)
     """
     from slamem_tpu.engine.seed_mode import _block_slices, _expand_pairs_core
 
@@ -50,20 +47,12 @@ def sharded_expand_sort(mesh: Mesh, sa_aug: jax.Array,
                                       capacity)
         count = jnp.sum(d_s != _I32MAX)
         total = jax.lax.psum(count, "q")
-        if all_gather_keys:
-            gd = jax.lax.all_gather(d_s, "q")  # [ndev, capacity]
-            gq = jax.lax.all_gather(q_s, "q")
-            return d_s[None], q_s[None], total[None], gd[None], gq[None]
         return d_s[None], q_s[None], total[None]
 
-    out_specs = ((P("q", None), P("q", None), P("q"), P("q", None, None),
-                  P("q", None, None))
-                 if all_gather_keys else (P("q", None), P("q", None),
-                                          P("q")))
     fn = shard_map(
         step, mesh=mesh,
         in_specs=(P(), P(), P(), P("q"), P("q"), P()),
-        out_specs=out_specs)
+        out_specs=(P("q", None), P("q", None), P("q")))
     return fn(sa_aug, lo_ext, w_ext, starts, limits, m_off)
 
 

@@ -53,6 +53,11 @@ def _search_one(index: FMIndex, qcodes: np.ndarray, cfg: Config,
             matches = seed_mode.find_seed_matches(index, qcodes, cfg,
                                                   mesh=mesh)
     elif cfg.engine == "scan":
+        if mesh is not None:
+            raise ValueError(
+                "-engine scan is the single-device §3.2-shape parity engine; "
+                "it does not support -shard or multi-host meshes (use the "
+                "default seed engine)")
         from slamem_tpu.engine import scan_mode
 
         matches = scan_mode.find_scan_matches(index, qcodes, cfg)

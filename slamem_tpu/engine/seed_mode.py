@@ -1166,8 +1166,8 @@ def roofline_bytes(n: int, m: int, k_words: int, pairs: int,
     sort makes several passes and gathers touch whole cache lines, so
     achieved time can exceed this floor — hbm_fraction computed from it is
     a conservative (never flattering) roofline estimate (SURVEY.md §5).
-    With sparse seeding only every stride-th position enters the frontend
-    (packing still reads all m codes once: + m bytes).
+    Key packing reads all m query codes once (+ m bytes) regardless of
+    stride — dense or sparse, every code byte feeds packed_key_words.
     """
     m_rows = -(-m // stride)
     if bucket:
@@ -1177,8 +1177,7 @@ def roofline_bytes(n: int, m: int, k_words: int, pairs: int,
     expand = pairs * 4
     flags = pairs * 2
     compact = pairs * 8
-    return int(frontend + (m if stride > 1 else 0)
-               + expand + flags + compact)
+    return int(frontend + m + expand + flags + compact)
 
 
 def _plan_blocks(cum: np.ndarray, m: int, capacity: int,

@@ -21,6 +21,7 @@ emission order (SURVEY.md §2, [REPO-MEM:L]).
 from __future__ import annotations
 
 import io
+import sys
 
 from slamem_tpu.engine.run import EngineOutput
 
@@ -80,6 +81,9 @@ def format_matches(out: EngineOutput, force: str | None = None) -> str:
         force == "native")
     if use_native and any(not n.isascii() for n in out.ref_names):
         use_native = False  # C pads by bytes, Python by chars — keep parity
+        print("[slamem] non-ASCII reference name: falling back to the "
+              "Python renderer (identical bytes, ~10x slower at chr scale)",
+              file=sys.stderr)
     if use_native:
         if _native_fmt is None:
             raise RuntimeError("native formatter unavailable")

@@ -159,3 +159,45 @@ def test_cli_shard_flag(tmp_path):
         assert r.returncode == 0, r.stderr[-1500:]
         outs.append(r.stdout)
     assert outs[0] == outs[1] and outs[0].count("\n") > 3
+
+
+def test_multihost_init_gating(monkeypatch):
+    """Env unset -> no jax.distributed.initialize call, returns False;
+    coordinator env set -> joins and reports multi-process membership."""
+    import jax
+
+    from slamem_tpu.dist import mesh as dm
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(1))
+    assert dm.initialize_multihost() is False
+    assert calls == []
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:8476")
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    assert dm.initialize_multihost() is True
+    assert calls == [1]
+
+
+def test_is_output_process_single_host():
+    from slamem_tpu.dist.mesh import is_output_process
+
+    assert is_output_process() is True
+
+
+def test_cli_nonzero_process_emits_nothing(small_pair, tmp_path, monkeypatch):
+    """On an SPMD pod launch only process 0 writes the listing; other
+    processes compute and exit 0 without touching the filesystem."""
+    from slamem_tpu.dist import mesh as dm
+
+    rp, qp = map(str, small_pair)
+    out = tmp_path / "out.txt"
+    monkeypatch.setattr(dm, "is_output_process", lambda: False)
+    assert main(["-l", "15", "-o", str(out), rp, qp]) == 0
+    assert not out.exists()
+    monkeypatch.setattr(dm, "is_output_process", lambda: True)
+    assert main(["-l", "15", "-o", str(out), rp, qp]) == 0
+    assert out.exists() and len(out.read_text().splitlines()) > 1
