@@ -199,6 +199,155 @@ def run_mam_bench(size: int = 5_000_000, minlen: int = 20,
     }
 
 
+def run_stage_bench(size: int = SIZE, minlen: int = MINLEN,
+                    repeats: int = 3) -> dict:
+    """Device-synced stage budget of the headline fused path.
+
+    Reproduces find_seed_matches' single-dispatch plan and grounds each
+    stage on a host fetch (block_until_ready is unreliable on the axon
+    tunnel — see .claude/skills/verify): round-trip latency, query upload,
+    frontend-only dispatch, full fused dispatch, wire fetch, host decode,
+    and the end-to-end engine call they add up to. This is the evidence
+    VERDICT r2 asked for: with the byte floor at ~19 MB and the wall at
+    ~130 ms, the next 2-3x lives in fixed costs, so name them.
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from slamem_tpu.config import Config
+    from slamem_tpu.engine import seed_mode as sm
+    from slamem_tpu.index.build import build_index
+
+    ref, qry = build_inputs(size)
+    cfg = Config(min_length=minlen)
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+
+    def best(fn, n=repeats):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    # converge adaptive capacities + compile everything (2 calls: first
+    # observes counts, second runs the snapped shapes)
+    m = sm.find_seed_matches(index, qry, cfg)
+    m = sm.find_seed_matches(index, qry, cfg)
+    t_end_to_end = best(lambda: sm.find_seed_matches(index, qry, cfg))
+
+    # reproduce the engine's plan at the converged state
+    qp, qt = sm.query_to_device(qry)
+    m_p = int(qp.shape[0])
+    k, stride, _ = sm.choose_seed_plan(index.n, m_p, cfg)
+    refk, sa_aug = sm.seed_table(index, k)
+    ext_r = sm.ext_table(index) if stride != 1 else None
+    cap_cfg = int(cfg.pair_capacity)
+    last_pairs, last_runs, last_kept = sm._last_total(index, k, stride)
+    capacity, run_cap = cap_cfg, max(4096, cap_cfg // 16)
+    if (last_pairs and cap_cfg >= sm._GROWTH_MIN_CAPACITY
+            and last_runs is not None):
+        capacity = sm.capacity_bucket(
+            last_pairs, 1 << 18, max(cap_cfg, int(cfg.pair_capacity_max)))
+        run_cap = sm.capacity_bucket(
+            last_runs, 1 << 12, max(cap_cfg, int(cfg.pair_capacity_max)) // 8)
+    kept_cap = run_cap
+    if last_kept is not None:
+        kept_cap = min(run_cap,
+                       sm.capacity_bucket(last_kept, 1 << 12, run_cap))
+    m_s = m_p // stride
+    use_bucket = cfg.frontend == "bucket"
+    probes = 12
+    if cfg.frontend == "auto" and index.n >= 4 * m_s:
+        starts, shift, probes = sm.bucket_table(index, k)
+        use_bucket = sm.prefer_bucket(index.n, m_s, len(refk), probes)
+    minl = int(cfg.min_length)
+
+    # stage 0: bare dispatch+fetch round trip (1 scalar through the tunnel)
+    one = jnp.zeros((1,), jnp.int32) + 1
+    np.asarray(one)
+    t_rtt = best(lambda: np.asarray(one))
+
+    # stage 1: query upload (cache-busted: fresh array object each repeat)
+    def upload():
+        q2 = qry.copy()
+        qp2, qt2 = sm.query_to_device(q2)
+        np.asarray(qt2[:1])
+    t_upload = best(upload)
+
+    # stage 2: frontend only (join or bucket search), grounded on the
+    # 2-int64 summary fetch
+    if use_bucket:
+        def frontend():
+            lo, w, cum, summ = sm.query_frontend_bucket(
+                refk, starts, qt, k, shift, probes, stride)
+            np.asarray(summ)
+    else:
+        def frontend():
+            lo, w, cum, summ = sm.query_frontend(refk, qt, k, stride)
+            np.asarray(summ)
+    frontend()
+    t_frontend = best(frontend)
+
+    # stage 3: full fused dispatch, grounded on the summary fetch (all
+    # outputs of one XLA computation materialize together)
+    state = {}
+
+    def fused():
+        if use_bucket:
+            out = sm.fused_query_bucket(
+                index.text, refk, starts, sa_aug, qt, k, capacity, run_cap,
+                shift, probes, cfg.match_backend, stride, ext_r,
+                kept_capacity=kept_cap, minlen=minl)
+        else:
+            out = sm.fused_query(
+                index.text, refk, sa_aug, qt, k, capacity, run_cap,
+                cfg.match_backend, stride, ext_r,
+                kept_capacity=kept_cap, minlen=minl)
+        state["packed"] = out[4]
+        np.asarray(out[3])
+    fused()
+    t_fused = best(fused)
+
+    # stage 4: wire fetch of the already-computed packed array
+    t_wire = best(lambda: np.asarray(state["packed"]))
+    wire = np.asarray(state["packed"])
+    n_kept = int(wire[-4])
+
+    # stage 5: host decode (run triples -> filtered SeedMatches arrays)
+    def decode():
+        runs = sm.runs_from_compacted32(
+            wire[:kept_cap], wire[kept_cap:2 * kept_cap],
+            wire[2 * kept_cap:3 * kept_cap], n_kept, m_p + 1)
+        length = runs.qend - runs.qstart + k
+        keep = length >= minl
+        return (runs.diag + runs.qstart)[keep], runs.qstart[keep], \
+            length[keep]
+    t_decode = best(decode)
+
+    return {
+        "end_to_end_s": t_end_to_end,
+        "rtt_s": t_rtt,
+        "upload_s": t_upload,
+        "frontend_s": t_frontend,
+        "fused_dispatch_s": t_fused,
+        "expansion_sort_s": t_fused - t_frontend,
+        "wire_fetch_s": t_wire,
+        "host_decode_s": t_decode,
+        "accounted_s": t_fused + t_wire + t_decode,
+        "mbp_per_s": len(qry) / 1e6 / t_end_to_end,
+        "plan": {"k": k, "stride": stride, "bucket": use_bucket,
+                 "probes": probes, "capacity": capacity,
+                 "run_cap": run_cap, "kept_cap": kept_cap,
+                 "wire_bytes": int(wire.nbytes), "n_kept": n_kept,
+                 "m_padded": m_p},
+        "device": str(jax.devices()[0]),
+    }
+
+
 def run_rank_bench(size: int = 5_000_000, batch: int = 1 << 20,
                    repeats: int = 3) -> dict:
     """Pallas rank/occ kernel roofline: exactly 512 B HBM per query."""
@@ -286,6 +435,17 @@ def main() -> int:
             "unit": "Mbp/s",
             "vs_baseline": round(vs, 3) if vs is not None else None,
         }))
+        return 0
+
+    if "--stages" in argv:  # stage budget of the fused path (VERDICT r2 #2)
+        res = run_stage_bench(size, minlen)
+        print(json.dumps({
+            "metric": "headline_stage_budget_mbp_per_s",
+            "value": round(res["mbp_per_s"], 3),
+            "unit": "Mbp/s",
+            "vs_baseline": None,
+        }))
+        print(json.dumps(res, default=str), file=sys.stderr)
         return 0
 
     if "--rank" in argv:  # Pallas occ kernel roofline (BASELINE north star)

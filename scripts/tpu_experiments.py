@@ -904,5 +904,343 @@ def profscale():
     timed("fused_plus_wire", lambda: np.asarray(dispatch()))
 
 
+
+def packprof():
+    """Where do the frontend's 58 ms go (stage bench, 5 Mbp headline)?
+
+    Times, device-grounded: full-position packing then [::S] (current
+    sampled_query_keys), strided-slice packing at samples only, reshape-
+    column packing at samples only, the bucket interval search alone, and
+    the valid/cummin pass alone. Candidate replacements must match the
+    current keys bit-exactly.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from slamem_tpu.config import Config
+    from slamem_tpu.engine import seed_mode as sm
+    from slamem_tpu.index.build import build_index
+    from slamem_tpu.io.fasta import CODE_N
+    from slamem_tpu.utils.synth import strain_pair
+
+    ref, qry = strain_pair(5_000_000, seed=20260816, sub_rate=0.015,
+                           indel_rate=0.0015)
+    cfg = Config(min_length=20)
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    qp, qt = sm.query_to_device(qry)
+    m_p = int(qp.shape[0])
+    k, stride, _ = sm.choose_seed_plan(index.n, m_p, cfg)
+    refk, sa_aug = sm.seed_table(index, k)
+    starts, shift, probes = sm.bucket_table(index, k)
+    print(json.dumps({"exp": "packprof", "k": k, "stride": stride,
+                      "m_padded": m_p, "probes": probes}))
+
+    def timed(name, fn, repeats=3):
+        fn()
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        print(json.dumps({"exp": "packprof", "t": name, "s": min(ts)}))
+        sys.stdout.flush()
+
+    # current: pack every position, then slice
+    @functools.partial(jax.jit, static_argnames=("k", "stride"))
+    def cur(qt, k, stride):
+        w, v = sm.packed_key_words(qt, k)
+        return tuple(x[::stride] for x in w), v[::stride]
+
+    # candidate A: strided slices of the padded text, samples only
+    @functools.partial(jax.jit, static_argnames=("k", "stride"))
+    def stridedpack(text, k, stride):
+        n = text.shape[0]
+        ns = -(-n // stride)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        special_at = jnp.where(text >= CODE_N, pos, jnp.int32(n))
+        next_special = jax.lax.cummin(special_at, reverse=True)
+        s_pos = jnp.arange(ns, dtype=jnp.int32) * stride
+        ns_s = next_special[::stride]
+        padded = jnp.concatenate([text, jnp.zeros((k + stride,), jnp.uint8)])
+        words = []
+        for w0 in range(0, k, 16):
+            acc = jnp.zeros((ns,), jnp.uint32)
+            for t in range(w0, min(w0 + 16, k)):
+                ch = jax.lax.slice(padded, (t,), (t + (ns - 1) * stride + 1,),
+                                   (stride,)).astype(jnp.uint32)
+                mask = s_pos + t < ns_s
+                acc = acc * 4 + jnp.where(mask, ch, jnp.uint32(0))
+            words.append(acc)
+        valid = ns_s - s_pos >= k
+        return tuple(words), valid
+
+    # candidate B: reshape to (ns, stride) columns, samples only
+    @functools.partial(jax.jit, static_argnames=("k", "stride"))
+    def reshapepack(text, k, stride):
+        n = text.shape[0]
+        ns = -(-n // stride)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        special_at = jnp.where(text >= CODE_N, pos, jnp.int32(n))
+        next_special = jax.lax.cummin(special_at, reverse=True)
+        s_pos = jnp.arange(ns, dtype=jnp.int32) * stride
+        ns_s = next_special[::stride]
+        rows = ns + -(-k // stride) + 1
+        pad = rows * stride - n
+        mat = jnp.concatenate([text, jnp.zeros((pad,), jnp.uint8)]).reshape(
+            rows, stride)
+        words = []
+        for w0 in range(0, k, 16):
+            acc = jnp.zeros((ns,), jnp.uint32)
+            for t in range(w0, min(w0 + 16, k)):
+                col = mat[t // stride:t // stride + ns,
+                          t % stride].astype(jnp.uint32)
+                mask = s_pos + t < ns_s
+                acc = acc * 4 + jnp.where(mask, col, jnp.uint32(0))
+            words.append(acc)
+        valid = ns_s - s_pos >= k
+        return tuple(words), valid
+
+    w_cur, v_cur = cur(qt, k, stride)
+    w_a, v_a = stridedpack(qt, k, stride)
+    w_b, v_b = reshapepack(qt, k, stride)
+    same_a = all(bool(jnp.array_equal(x, y)) for x, y in zip(w_cur, w_a)) \
+        and bool(jnp.array_equal(v_cur, v_a))
+    same_b = all(bool(jnp.array_equal(x, y)) for x, y in zip(w_cur, w_b)) \
+        and bool(jnp.array_equal(v_cur, v_b))
+    print(json.dumps({"exp": "packprof", "equal_strided": same_a,
+                      "equal_reshape": same_b,
+                      "ns": int(w_cur[0].shape[0])}))
+
+    timed("pack_current_full_then_slice",
+          lambda: np.asarray(cur(qt, k, stride)[0][0][:1]))
+    timed("pack_strided_samples",
+          lambda: np.asarray(stridedpack(qt, k, stride)[0][0][:1]))
+    timed("pack_reshape_samples",
+          lambda: np.asarray(reshapepack(qt, k, stride)[0][0][:1]))
+
+    # bucket interval search alone, on precomputed sampled keys
+    @jax.jit
+    def bsearch(refk, starts, qk_w, qvalid):
+        return sm._bucket_intervals(refk, starts, qk_w, qvalid, shift,
+                                    probes)
+
+    qk_w = tuple(jnp.asarray(x) for x in w_cur)
+    qv = jnp.asarray(v_cur)
+    timed("bucket_search_only",
+          lambda: np.asarray(bsearch(refk, starts, qk_w, qv)[0][:1]))
+
+    # valid/cummin pass alone
+    @jax.jit
+    def validonly(text):
+        n = text.shape[0]
+        pos = jnp.arange(n, dtype=jnp.int32)
+        special_at = jnp.where(text >= CODE_N, pos, jnp.int32(n))
+        return jax.lax.cummin(special_at, reverse=True)
+
+    timed("cummin_valid_only", lambda: np.asarray(validonly(qt)[:1]))
+
+    # full frontend for reference
+    timed("frontend_bucket_full", lambda: np.asarray(
+        sm.query_frontend_bucket(refk, starts, qt, k, shift, probes,
+                                 stride)[3]))
+
+
+
+def rankx():
+    """Rank-kernel redesign A/B on the real chip (VERDICT r2 #3).
+
+    Variants, all device-resident timed (consume with .sum(), fetch one
+    scalar): Pallas per-query-DMA kernel (current), XLA row-gather
+    (rank_rows_xla), XLA row-gather with blk-sorted queries (locality
+    probe), raw jnp.take row-gather alone, and rank_batch (element-gather
+    reference). GB/s charged at the honest 512 B HBM per query.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from slamem_tpu.index.build import build_index, rank_batch
+    from slamem_tpu.kernels import rank as rk
+    from slamem_tpu.utils.synth import strain_pair
+
+    size, batch = 5_000_000, 1 << 20
+    ref, _ = strain_pair(size, seed=20260816)
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    rows = rk.interleaved_rows(index)
+    rng = np.random.default_rng(20260819)
+    chars = jnp.asarray(rng.integers(0, 4, size=batch).astype(np.int32))
+    pos = jnp.asarray(rng.integers(0, index.n + 1, size=batch)
+                      .astype(np.int32))
+
+    # correctness first
+    want = np.asarray(rank_batch(index, chars[:4096], pos[:4096]))
+    got_x = np.asarray(rk.rank_rows_xla(rows, chars[:4096], pos[:4096]))
+    got_p = np.asarray(rk.rank_pallas(index, chars[:4096], pos[:4096]))
+    print(json.dumps({"exp": "rankx", "xla_ok": bool((want == got_x).all()),
+                      "pallas_ok": bool((want == got_p).all()),
+                      "nrows": int(rows.shape[0])}))
+
+    def timed(name, fn, repeats=3):
+        fn()
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        dt = min(ts)
+        gbps = batch * 512 / dt / 1e9
+        print(json.dumps({"exp": "rankx", "t": name, "s": dt,
+                          "gb_per_s_512B": round(gbps, 2)}))
+        sys.stdout.flush()
+
+    @jax.jit
+    def consume_pallas(chars, pos):
+        return rk.rank_rows(rows, chars, pos).sum()
+
+    @jax.jit
+    def consume_xla(chars, pos):
+        return rk.rank_rows_xla(rows, chars, pos).sum()
+
+    @jax.jit
+    def consume_sortedx(chars, pos):
+        blk = pos // rk.SYMS_PER_ROW
+        order = jnp.argsort(blk)
+        r = rk.rank_rows_xla(rows, chars[order], pos[order])
+        return r.sum()  # order-invariant consume; real callers unsort
+
+    @jax.jit
+    def consume_take(pos):
+        blk = pos // rk.SYMS_PER_ROW
+        return jnp.take(rows, blk, axis=0).sum(dtype=jnp.int32)
+
+    @jax.jit
+    def consume_ref(chars, pos):
+        return rank_batch(index, chars, pos).sum()
+
+    timed("pallas_kernel", lambda: np.asarray(consume_pallas(chars, pos)))
+    timed("xla_rowgather", lambda: np.asarray(consume_xla(chars, pos)))
+    timed("xla_rowgather_sorted",
+          lambda: np.asarray(consume_sortedx(chars, pos)))
+    timed("raw_take_rows", lambda: np.asarray(consume_take(pos)))
+    timed("rank_batch_ref", lambda: np.asarray(consume_ref(chars, pos)))
+
+
+
+def tailprof():
+    """Break down the fused tail's 43 ms (stage bench r3, 5 Mbp headline).
+
+    Incremental sub-pipelines at the exact production shapes, each its own
+    jit, device-grounded by a tiny fetch: expand_seg alone, + sa gather,
+    + 2-key sort, + run compaction, + kept filter. Deltas = stage costs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from slamem_tpu.config import Config
+    from slamem_tpu.engine import seed_mode as sm
+    from slamem_tpu.index.build import build_index
+    from slamem_tpu.utils.synth import strain_pair
+
+    ref, qry = strain_pair(5_000_000, seed=20260816, sub_rate=0.015,
+                           indel_rate=0.0015)
+    cfg = Config(min_length=20)
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    # converge adaptive shapes
+    m = sm.find_seed_matches(index, qry, cfg)
+    m = sm.find_seed_matches(index, qry, cfg)
+    qp, qt = sm.query_to_device(qry)
+    m_p = int(qp.shape[0])
+    k, stride, _ = sm.choose_seed_plan(index.n, m_p, cfg)
+    refk, sa_aug = sm.seed_table(index, k)
+    ext_r = sm.ext_table(index) if stride != 1 else None
+    starts, shift, probes = sm.bucket_table(index, k)
+    last_pairs, last_runs, last_kept = sm._last_total(index, k, stride)
+    capacity = sm.capacity_bucket(last_pairs, 1 << 18,
+                                  int(cfg.pair_capacity_max))
+    run_cap = sm.capacity_bucket(last_runs, 1 << 12,
+                                 int(cfg.pair_capacity_max) // 8)
+    kept_cap = min(run_cap, sm.capacity_bucket(last_kept, 1 << 12, run_cap))
+    print(json.dumps({"exp": "tailprof", "k": k, "stride": stride,
+                      "capacity": capacity, "run_cap": run_cap,
+                      "kept_cap": kept_cap, "pairs": last_pairs,
+                      "runs": last_runs, "kept": last_kept}))
+
+    lo, width = jax.jit(lambda: sm._bucket_intervals(
+        refk, starts, sm.sampled_query_keys(qt, k, stride)[0],
+        sm.sampled_query_keys(qt, k, stride)[1], shift, probes))()
+    lo, width = jax.block_until_ready(lo), jax.block_until_ready(width)
+    m_off = jnp.int32(m_p + 1)
+
+    def timed(name, fn, repeats=3):
+        fn()
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        print(json.dumps({"exp": "tailprof", "t": name, "s": min(ts)}))
+        sys.stdout.flush()
+
+    @jax.jit
+    def seg_only(lo, width):
+        seg_c, sa_idx_raw, in_range = sm._expand_seg(lo, width, capacity)
+        return seg_c[:1] + sa_idx_raw[:1] + in_range[:1].astype(jnp.int32)
+
+    @jax.jit
+    def plus_gather(lo, width):
+        seg_c, sa_idx_raw, in_range = sm._expand_seg(lo, width, capacity)
+        sa_idx = jnp.clip(sa_idx_raw, 0, sa_aug.shape[0] - 1)
+        refpos_f = sa_aug[sa_idx]
+        return refpos_f.sum(dtype=jnp.int32)
+
+    @jax.jit
+    def plus_sort(lo, width):
+        d_s, q_s = sm._expand_pairs_core(sa_aug, lo, width, jnp.int32(0),
+                                         m_off, capacity, stride)
+        return d_s[:1] + q_s[:1]
+
+    @jax.jit
+    def plus_compact(lo, width):
+        d_s, q_s = sm._expand_pairs_core(sa_aug, lo, width, jnp.int32(0),
+                                         m_off, capacity, stride)
+        out = sm._compact_pair_runs(d_s, q_s, run_cap)
+        return out[0][:1] + out[1][:1] + out[2][:1]
+
+    timed("expand_seg_only", lambda: np.asarray(seg_only(lo, width)))
+    timed("plus_sa_gather", lambda: np.asarray(plus_gather(lo, width)))
+    timed("plus_2key_sort", lambda: np.asarray(plus_sort(lo, width)))
+    timed("plus_run_compact", lambda: np.asarray(plus_compact(lo, width)))
+
+    # full fused for reference
+    def full():
+        out = sm.fused_query_bucket(
+            index.text, refk, starts, sa_aug, qt, k, capacity, run_cap,
+            shift, probes, cfg.match_backend, stride, ext_r,
+            kept_capacity=kept_cap, minlen=int(cfg.min_length))
+        return np.asarray(out[3])
+    timed("fused_full", full)
+
+    # sort variants at the same shape: 2-key vs stable-1-key-with-payload
+    rng = np.random.default_rng(7)
+    d = jnp.asarray(rng.integers(0, 10_000_000, capacity).astype(np.int32))
+    q = jnp.asarray(rng.integers(0, 1 << 20, capacity).astype(np.int32))
+
+    @jax.jit
+    def sort2(d, q):
+        a, b = jax.lax.sort((d, q), dimension=0, num_keys=2)
+        return a[:1] + b[:1]
+
+    @jax.jit
+    def sort1stable(d, q):
+        a, b = jax.lax.sort((d, q), dimension=0, num_keys=1,
+                            is_stable=True)
+        return a[:1] + b[:1]
+
+    timed("sort_2key", lambda: np.asarray(sort2(d, q)))
+    timed("sort_1key_stable", lambda: np.asarray(sort1stable(d, q)))
+
+
 if __name__ == "__main__":
     globals()[sys.argv[1]]()

@@ -57,10 +57,10 @@ from slamem_tpu.io.fasta import CODE_N
 # K-mer packing
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def packed_key_words(text: jax.Array, k: int
+@functools.partial(jax.jit, static_argnames=("k", "stride"))
+def packed_key_words(text: jax.Array, k: int, stride: int = 1
                      ) -> tuple[tuple[jax.Array, ...], jax.Array]:
-    """(words, valid) for every position of a code text, K <= 32.
+    """(words, valid) at every stride-th position of a code text, K <= 32.
 
     words is a tuple of uint32 arrays: word 0 packs chars [i, i+16) base-4,
     word 1 (present when k > 16) packs chars [i+16, i+k). Comparing windows
@@ -77,22 +77,35 @@ def packed_key_words(text: jax.Array, k: int
     Two uint32 words instead of one int64: 64-bit compares/sorts/gathers
     cost 2-6x on v5e (measured round 1) — the dual-word key removes the
     K=16 collision wall (n*m/4^16 random pairs at chr scale) at int32 speed.
+
+    Validity is a running AND carried through the char loop (ok &= char is
+    not special), with the text padded by CODE_N so windows crossing the
+    end go invalid the same way — bit-identical words/valid to the older
+    next_special cummin formulation, but the 5 Mbp cummin alone cost
+    28.5 ms on chip (packprof, round 3) vs ~0 for the carried flag. With
+    stride > 1 only every stride-th window is packed (strided slices of
+    the padded text), so sparse seeding skips 1-1/stride of the pack work
+    instead of packing everything and slicing after.
     """
     n = text.shape[0]
-    pos = jnp.arange(n, dtype=jnp.int32)
-    special_at = jnp.where(text >= CODE_N, pos, jnp.int32(n))
-    next_special = jax.lax.cummin(special_at, reverse=True)
-    valid = next_special - pos >= k
-    padded = jnp.concatenate([text, jnp.zeros((k,), jnp.uint8)])
+    ns = -(-n // stride)
+    padded = jnp.concatenate(
+        [text, jnp.full((k + stride,), CODE_N, jnp.uint8)])
+    ok = jnp.ones((ns,), jnp.bool_)
     words = []
     for w0 in range(0, k, 16):
-        acc = jnp.zeros((n,), jnp.uint32)
+        acc = jnp.zeros((ns,), jnp.uint32)
         for t in range(w0, min(w0 + 16, k)):
-            ch = padded[t:t + n].astype(jnp.uint32)
-            mask = pos + t < next_special
-            acc = acc * 4 + jnp.where(mask, ch, jnp.uint32(0))
+            if stride == 1:
+                ch = jax.lax.slice(padded, (t,), (t + n,))
+            else:
+                ch = jax.lax.slice(padded, (t,),
+                                   (t + (ns - 1) * stride + 1,), (stride,))
+            ok = ok & (ch < CODE_N)
+            acc = acc * 4 + jnp.where(ok, ch.astype(jnp.uint32),
+                                      jnp.uint32(0))
         words.append(acc)
-    return tuple(words), valid
+    return tuple(words), ok
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -112,11 +125,7 @@ def sampled_query_keys(qt: jax.Array, k: int, stride: int
     every frontend — join/bucket, fused or not, replicated or per-slab —
     must sample through this one helper so the convention cannot drift.
     """
-    qk_w, qvalid = packed_key_words(qt, k)
-    if stride != 1:
-        qk_w = tuple(w[::stride] for w in qk_w)
-        qvalid = qvalid[::stride]
-    return qk_w, qvalid
+    return packed_key_words(qt, k, stride)
 
 
 def _lex_lt(v: tuple[jax.Array, ...], q: tuple[jax.Array, ...]) -> jax.Array:
@@ -339,8 +348,13 @@ def _bucket_intervals(refk, starts: jax.Array, qk,
     n = refk_w[0].shape[0]
     b = jax.lax.shift_right_logical(
         qk_w[0], jnp.asarray(shift, qk_w[0].dtype)).astype(jnp.int32)
-    lo0 = starts[b]
-    hi0 = starts[b + 1]
+    # starts[b] and starts[b+1] are adjacent: one 8 B paired gather instead
+    # of two independent random 4 B gathers into the (often GB-scale direct)
+    # table — each random gather costs full HBM latency, and the pair was
+    # half the 46 ms bucket-search wall at the 5 Mbp headline (packprof r3)
+    pair = jax.vmap(
+        lambda i: jax.lax.dynamic_slice(starts, (i,), (2,)))(b)
+    lo0, hi0 = pair[:, 0], pair[:, 1]
     if probes == 0:
         # direct-addressed table (bucket_table: bbits = full word-0 bits,
         # single word): the bucket IS the key's equivalence class, so the

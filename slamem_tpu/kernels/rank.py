@@ -201,3 +201,42 @@ def rank_pallas(index: FMIndex, chars: jax.Array, positions: jax.Array,
     """occ(c, j) batched — Pallas fast path, drop-in for rank_batch."""
     return rank_rows(interleaved_rows(index), chars, positions,
                      interpret=interpret)
+
+
+@jax.jit
+def rank_rows_xla(rows: jax.Array, chars: jax.Array, positions: jax.Array
+                  ) -> jax.Array:
+    """occ(c, j) over the interleaved table, pure XLA (no Pallas).
+
+    One (batch, 128) row gather — XLA's gather engine moves whole
+    512 B-contiguous rows without the scalar-core DMA-issue serialization
+    that walls the hand-written kernel at ~3 GB/s (one make_async_copy
+    issue per query ~ 170 ns; VERDICT r2 #3) — then a fused byte-unpack /
+    compare / masked-sum consumes the rows. Counter word and symbol
+    popcount both come from the one gathered row, so HBM traffic stays the
+    chartered 512 B per query.
+    """
+    c32 = chars.astype(jnp.int32)
+    p32 = positions.astype(jnp.int32)
+    blk = p32 // SYMS_PER_ROW
+    within = p32 - blk * SYMS_PER_ROW
+    row = jnp.take(rows, blk, axis=0)               # (batch, ROW_WORDS)
+    base = jnp.take_along_axis(row[:, :CNT_WORDS], c32[:, None],
+                               axis=1)[:, 0]
+    sym = row[:, CNT_WORDS:]                        # (batch, 124) packed
+    lanepos = jnp.arange(ROW_WORDS - CNT_WORDS, dtype=jnp.int32)[None, :]
+    acc = jnp.zeros(c32.shape, jnp.int32)
+    for byte in range(4):
+        sub = jax.lax.shift_right_logical(sym, jnp.int32(8 * byte)) \
+            & jnp.int32(0xFF)
+        sym_pos = lanepos * 4 + byte
+        acc = acc + ((sub == c32[:, None]) &
+                     (sym_pos < within[:, None])).sum(axis=1,
+                                                      dtype=jnp.int32)
+    return base + acc
+
+
+def rank_xla(index: FMIndex, chars: jax.Array, positions: jax.Array
+             ) -> jax.Array:
+    """occ(c, j) batched — XLA row-gather path, drop-in for rank_batch."""
+    return rank_rows_xla(interleaved_rows(index), chars, positions)
