@@ -170,8 +170,9 @@ def run_mam_bench(size: int = 5_000_000, minlen: int = 20,
                   repeats: int = 2) -> dict:
     """BASELINE config #3: MAM (reference-unique) mode on the E. coli pair.
 
-    The dense pair tables MUM/MAM occurrence counts need disable sparse
-    seeding, so this also exercises the dense frontend + host filter path.
+    Uniqueness is decided from the match set alone (run-containment,
+    apply_mode_filter), so MAM rides the same fused sparse-seeded fast
+    path as MEM plus one vectorized host filter.
     """
     import jax
 

@@ -1167,9 +1167,8 @@ def tailprof():
                       "kept_cap": kept_cap, "pairs": last_pairs,
                       "runs": last_runs, "kept": last_kept}))
 
-    lo, width = jax.jit(lambda: sm._bucket_intervals(
-        refk, starts, sm.sampled_query_keys(qt, k, stride)[0],
-        sm.sampled_query_keys(qt, k, stride)[1], shift, probes))()
+    lo, width, _cum, _summ = sm.query_frontend_bucket(
+        refk, starts, qt, k, shift, probes, stride)
     lo, width = jax.block_until_ready(lo), jax.block_until_ready(width)
     m_off = jnp.int32(m_p + 1)
 
@@ -1189,29 +1188,31 @@ def tailprof():
         return seg_c[:1] + sa_idx_raw[:1] + in_range[:1].astype(jnp.int32)
 
     @jax.jit
-    def plus_gather(lo, width):
+    def plus_gather(sa_aug, lo, width):
         seg_c, sa_idx_raw, in_range = sm._expand_seg(lo, width, capacity)
         sa_idx = jnp.clip(sa_idx_raw, 0, sa_aug.shape[0] - 1)
         refpos_f = sa_aug[sa_idx]
         return refpos_f.sum(dtype=jnp.int32)
 
     @jax.jit
-    def plus_sort(lo, width):
+    def plus_sort(sa_aug, lo, width):
         d_s, q_s = sm._expand_pairs_core(sa_aug, lo, width, jnp.int32(0),
                                          m_off, capacity, stride)
         return d_s[:1] + q_s[:1]
 
     @jax.jit
-    def plus_compact(lo, width):
+    def plus_compact(sa_aug, lo, width):
         d_s, q_s = sm._expand_pairs_core(sa_aug, lo, width, jnp.int32(0),
                                          m_off, capacity, stride)
         out = sm._compact_pair_runs(d_s, q_s, run_cap)
         return out[0][:1] + out[1][:1] + out[2][:1]
 
     timed("expand_seg_only", lambda: np.asarray(seg_only(lo, width)))
-    timed("plus_sa_gather", lambda: np.asarray(plus_gather(lo, width)))
-    timed("plus_2key_sort", lambda: np.asarray(plus_sort(lo, width)))
-    timed("plus_run_compact", lambda: np.asarray(plus_compact(lo, width)))
+    timed("plus_sa_gather",
+          lambda: np.asarray(plus_gather(sa_aug, lo, width)))
+    timed("plus_2key_sort", lambda: np.asarray(plus_sort(sa_aug, lo, width)))
+    timed("plus_run_compact",
+          lambda: np.asarray(plus_compact(sa_aug, lo, width)))
 
     # full fused for reference
     def full():
@@ -1240,6 +1241,159 @@ def tailprof():
 
     timed("sort_2key", lambda: np.asarray(sort2(d, q)))
     timed("sort_1key_stable", lambda: np.asarray(sort1stable(d, q)))
+
+
+
+def splitprof():
+    """Can a split expansion beat _expand_seg's 35 ms scatter wall?
+
+    At the 5 Mbp headline shapes: width histogram (how thin is the ragged
+    tail), lax.top_k cost at ns=721k, a scatter-cost scaling probe, and a
+    full split-expansion prototype (per-sample first pair by gather +
+    top_k-compacted residual scatter) timed against the production
+    _expand_pairs_core, checked for identical sorted pairs. Plus a K-cap
+    sweep (K=12/13/14 direct tables: 64 MB/256 MB/1 GB) probing whether
+    table size sets the bucket-gather latency.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from slamem_tpu.config import Config
+    from slamem_tpu.engine import seed_mode as sm
+    from slamem_tpu.index.build import build_index
+    from slamem_tpu.utils.synth import strain_pair
+
+    ref, qry = strain_pair(5_000_000, seed=20260816, sub_rate=0.015,
+                           indel_rate=0.0015)
+    cfg = Config(min_length=20)
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    m = sm.find_seed_matches(index, qry, cfg)
+    m = sm.find_seed_matches(index, qry, cfg)
+    qp, qt = sm.query_to_device(qry)
+    m_p = int(qp.shape[0])
+    k, stride, _ = sm.choose_seed_plan(index.n, m_p, cfg)
+    refk, sa_aug = sm.seed_table(index, k)
+    starts, shift, probes = sm.bucket_table(index, k)
+    last_pairs, last_runs, last_kept = sm._last_total(index, k, stride)
+    capacity = sm.capacity_bucket(last_pairs, 1 << 18,
+                                  int(cfg.pair_capacity_max))
+    lo, width, _cum, _summ = sm.query_frontend_bucket(
+        refk, starts, qt, k, shift, probes, stride)
+    lo = jax.block_until_ready(lo)
+    width = jax.block_until_ready(width)
+    w_h = np.asarray(width)
+    ns = w_h.size
+    hist = np.bincount(np.minimum(w_h, 8), minlength=9)
+    n_wide = int((w_h >= 2).sum())
+    resid = int(w_h[w_h >= 2].sum() - n_wide)
+    print(json.dumps({"exp": "splitprof", "ns": ns,
+                      "pairs": int(w_h.sum()),
+                      "hist_0..7_8plus": hist.tolist(),
+                      "n_wide": n_wide, "resid_pairs": resid}))
+    sys.stdout.flush()
+
+    def timed(name, fn, repeats=3):
+        fn()
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        print(json.dumps({"exp": "splitprof", "t": name, "s": min(ts)}))
+        sys.stdout.flush()
+
+    # top_k cost at ns
+    @jax.jit
+    def topk(w):
+        v, i = jax.lax.top_k(w, 1 << 17)
+        return v[:1] + i[:1]
+    timed("topk_131072_of_721k", lambda: np.asarray(topk(width)))
+
+    # scatter scaling probe: scatter E elements into a capacity buffer
+    for E in (1 << 17, 1 << 19, 1 << 20):
+        idx = jnp.asarray(
+            np.sort(np.random.default_rng(1).integers(
+                0, capacity, E)).astype(np.int32))
+
+        @jax.jit
+        def scat(idx):
+            return jnp.zeros((capacity,), jnp.int32).at[idx].add(
+                1, mode="drop")[:1]
+        timed(f"scatter_{E}_sorted", lambda s=scat, i=idx: np.asarray(s(i)))
+
+    m_off = jnp.int32(m_p + 1)
+    RESID = 1 << 17
+    RESID_CAP = 1 << 17
+
+    @jax.jit
+    def split_expand(sa_aug, lo, width):
+        # part A: every sample's FIRST pair, no scatter
+        qpos_s = jnp.arange(ns, dtype=jnp.int32) * jnp.int32(stride)
+        sa0 = sa_aug[jnp.clip(lo, 0, sa_aug.shape[0] - 1)]
+        okA = (width >= 1) & (sa0 >= 0)
+        refA = sa0 & jnp.int32(0x7FFFFFFF)
+        dA = jnp.where(okA, refA - qpos_s + m_off, sm._I32MAX)
+        qA = jnp.where(okA, jnp.arange(ns, dtype=jnp.int32), sm._I32MAX)
+        # part B: residual intervals of the top-RESID widest samples
+        wv, wi = jax.lax.top_k(width, RESID)
+        lo_b = lo[wi] + 1
+        w_b = jnp.maximum(wv - 1, 0)
+        seg_c, sa_idx_raw, in_range = sm._expand_seg(lo_b, w_b, RESID_CAP)
+        sa_idx = jnp.clip(sa_idx_raw, 0, sa_aug.shape[0] - 1)
+        sb = sa_aug[sa_idx]
+        qidx = wi[jnp.clip(seg_c, 0, RESID - 1)]
+        okB = in_range & (sb >= 0)
+        refB = sb & jnp.int32(0x7FFFFFFF)
+        dB = jnp.where(okB, refB - qidx * jnp.int32(stride) + m_off,
+                       sm._I32MAX)
+        qB = jnp.where(okB, qidx, sm._I32MAX)
+        d = jnp.concatenate([dA, dB])
+        q = jnp.concatenate([qA, qB])
+        d_s, q_s = jax.lax.sort((d, q), dimension=0, num_keys=2)
+        overflow = (wv[RESID - 1] >= 2)  # wide sample missed top_k
+        return d_s, q_s, overflow
+
+    @jax.jit
+    def prod_expand(sa_aug, lo, width):
+        return sm._expand_pairs_core(sa_aug, lo, width, jnp.int32(0),
+                                     m_off, capacity, stride)
+
+    ds1, qs1, ovf = split_expand(sa_aug, lo, width)
+    ds0, qs0 = prod_expand(sa_aug, lo, width)
+    h1 = np.asarray(ds1), np.asarray(qs1)
+    h0 = np.asarray(ds0), np.asarray(qs0)
+    v1 = h1[0] != np.iinfo(np.int32).max
+    v0 = h0[0] != np.iinfo(np.int32).max
+    same = (np.array_equal(h1[0][v1], h0[0][v0])
+            and np.array_equal(h1[1][v1], h0[1][v0]))
+    print(json.dumps({"exp": "splitprof", "split_equal": bool(same),
+                      "overflow": bool(np.asarray(ovf)),
+                      "split_pairs": int(v1.sum()),
+                      "prod_pairs": int(v0.sum())}))
+    sys.stdout.flush()
+
+    timed("split_expand_sort",
+          lambda: np.asarray(split_expand(sa_aug, lo, width)[0][:1]))
+    timed("prod_expand_sort",
+          lambda: np.asarray(prod_expand(sa_aug, lo, width)[0][:1]))
+
+    # K-cap sweep: table size vs end-to-end headline
+    for kc in (14, 13, 12):
+        c2 = Config(min_length=20, seed_length_cap=kc)
+        mm = sm.find_seed_matches(index, qry, c2)
+        mm = sm.find_seed_matches(index, qry, c2)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            mm = sm.find_seed_matches(index, qry, c2)
+            ts.append(time.perf_counter() - t0)
+        kk, ss, _sp = sm.choose_seed_plan(index.n, m_p, c2)
+        print(json.dumps({"exp": "splitprof", "kcap": kc, "k": kk,
+                          "stride": ss, "s": min(ts),
+                          "mbp_per_s": len(qry) / 1e6 / min(ts),
+                          "matches": int(mm.length.size)}))
+        sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -327,51 +327,35 @@ def find_seed_matches_sharded(index: FMIndex, query_text: np.ndarray,
 
     m_off32 = jnp.asarray(m_off, jnp.int32)
     run_cap = max(4096, capacity // 16)
-    want_pairs = cfg.mode.value != "mem"
     batches: list[RunBatch] = []
-    pair_chunks: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     for start, end in blocks:
         st = jnp.asarray(start, jnp.int64)
         en = jnp.asarray(end, jnp.int64)
-        if not want_pairs:
-            run_d, run_qs, run_qe, n_runs, _tot = sharded_expand_runs(
+        run_d, run_qs, run_qe, n_runs, _tot = sharded_expand_runs(
+            mesh, sa_sh, lo_ext, w_ext, st, en, m_off32, capacity,
+            run_cap, block, stride)
+        n_runs_h = np.asarray(n_runs)
+        run_d_h = np.asarray(run_d)
+        run_qs_h = np.asarray(run_qs)
+        run_qe_h = np.asarray(run_qe)
+        overflow = [di for di in range(ndev)
+                    if int(n_runs_h[di]) > run_cap]
+        if overflow:  # run-capacity overflow: one raw-pair re-dispatch
+            d_all, q_all = sharded_expand(
                 mesh, sa_sh, lo_ext, w_ext, st, en, m_off32, capacity,
-                run_cap, block, stride)
-            n_runs_h = np.asarray(n_runs)
-            run_d_h = np.asarray(run_d)
-            run_qs_h = np.asarray(run_qs)
-            run_qe_h = np.asarray(run_qe)
-            overflow = [di for di in range(ndev)
-                        if int(n_runs_h[di]) > run_cap]
-            if overflow:  # run-capacity overflow: one raw-pair re-dispatch
-                d_all, q_all = sharded_expand(
-                    mesh, sa_sh, lo_ext, w_ext, st, en, m_off32, capacity,
-                    block, stride)
-                d_of = np.asarray(d_all)
-                q_of = np.asarray(q_all)
-            for di in range(ndev):
-                if di in overflow:
-                    batches.append(seed_mode.runs_from_sorted_pairs(
-                        d_of[di], q_of[di], m_off, k, want_pairs=False))
-                else:
-                    batches.append(seed_mode.runs_from_compacted32(
-                        run_d_h[di], run_qs_h[di], run_qe_h[di],
-                        int(n_runs_h[di]), m_off))
-        else:
-            d_all, q_all = sharded_expand(mesh, sa_sh, lo_ext, w_ext, st,
-                                          en, m_off32, capacity, block)
-            d_h = np.asarray(d_all)
-            q_h = np.asarray(q_all)
-            for di in range(ndev):
-                batch = seed_mode.runs_from_sorted_pairs(
-                    d_h[di], q_h[di], m_off, k, want_pairs=True)
-                if batch.pair_qpos is not None:
-                    pair_chunks.append(
-                        (batch.pair_qpos, batch.pair_refpos, batch.pair_ext))
-                batches.append(batch)
+                block, stride)
+            d_of = np.asarray(d_all)
+            q_of = np.asarray(q_all)
+        for di in range(ndev):
+            if di in overflow:
+                batches.append(seed_mode.runs_from_sorted_pairs(
+                    d_of[di], q_of[di], m_off))
+            else:
+                batches.append(seed_mode.runs_from_compacted32(
+                    run_d_h[di], run_qs_h[di], run_qe_h[di],
+                    int(n_runs_h[di]), m_off))
 
     if stride != 1:
         return seed_mode._finalize_strided(
             batches, qt, seed_mode.ext_table(index), k, stride, cfg)
-    return seed_mode.finalize_matches(
-        batches, pair_chunks if want_pairs else None, k, m, diag_mod, cfg)
+    return seed_mode.finalize_matches(batches, k, cfg)

@@ -403,12 +403,12 @@ def choose_seed_plan(n: int, m: int, cfg) -> tuple[int, int, bool]:
 
     THE single policy entry point — the replicated (find_seed_matches) and
     SA-rank-sharded (dist/sharded.py) engines must agree on (k, stride) or
-    their caches and parity guarantees drift. Sparse seeding is MEM-only
-    (occurrence counts need dense pairs) and sort-backend-only (boundary
-    flags test window-adjacent chars, a dense-pair notion).
+    their caches and parity guarantees drift. Sparse seeding applies to all
+    modes (MUM/MAM uniqueness is decided from the match set alone, see
+    apply_mode_filter) but stays sort-backend-only (boundary flags test
+    window-adjacent chars, a dense-pair notion).
     """
-    sparse = (cfg.mode.value == "mem" and cfg.sparse_seeds != "off"
-              and cfg.match_backend == "sort")
+    sparse = (cfg.sparse_seeds != "off" and cfg.match_backend == "sort")
     k = (choose_seed_k_sparse(n, m, cfg.min_length, cfg.seed_length_cap)
          if sparse
          else choose_seed_k(n, m, cfg.min_length, cfg.seed_length_cap))
@@ -1058,26 +1058,22 @@ def expand_block_pairs(sa_aug, lo_full, w_full, start, limit,
 
 @dataclasses.dataclass
 class RunBatch:
-    """Maximal >=K matches plus (optionally) per-pair data for MUM/MAM."""
+    """Maximal >=K matches as diagonal runs."""
 
     diag: np.ndarray    # int64 refpos - qpos
     qstart: np.ndarray  # int64 first query position of the run
     qend: np.ndarray    # int64 last  query position of the run (inclusive)
-    pair_qpos: np.ndarray | None = None   # per-pair: query position
-    pair_refpos: np.ndarray | None = None  # per-pair: ref position
-    pair_ext: np.ndarray | None = None    # per-pair: match length from pair
 
 
-def runs_from_sorted_pairs(d: np.ndarray, q: np.ndarray, m_off: int, k: int,
-                           want_pairs: bool) -> RunBatch:
+def runs_from_sorted_pairs(d: np.ndarray, q: np.ndarray,
+                           m_off: int) -> RunBatch:
     """Decode sorted int32 (diag', qpos) pairs into maximal runs."""
     sel = d != np.iinfo(np.int32).max
     d = d[sel].astype(np.int64) - m_off
     q = q[sel].astype(np.int64)
     if d.size == 0:
         e = np.zeros(0, np.int64)
-        return RunBatch(e, e, e.copy(),
-                        *((e, e, e) if want_pairs else (None, None, None)))
+        return RunBatch(e, e, e.copy())
     brk = np.empty(d.size, dtype=bool)
     brk[0] = True
     brk[1:] = (d[1:] != d[:-1]) | (q[1:] != q[:-1] + 1)
@@ -1086,11 +1082,7 @@ def runs_from_sorted_pairs(d: np.ndarray, q: np.ndarray, m_off: int, k: int,
     diag = d[starts]
     qstart = q[starts]
     qend = qstart + (ends - starts - 1)
-    if not want_pairs:
-        return RunBatch(diag, qstart, qend)
-    run_id = np.cumsum(brk) - 1
-    pair_ext = k + qend[run_id] - q
-    return RunBatch(diag, qstart, qend, q, d + q, pair_ext)
+    return RunBatch(diag, qstart, qend)
 
 
 def runs_from_compacted32(run_d: np.ndarray, run_qs: np.ndarray,
@@ -1161,8 +1153,6 @@ class SeedMatches:
     refpos: np.ndarray   # int64
     qpos: np.ndarray     # int64
     length: np.ndarray   # int64
-    pairs_by_qpos: tuple[np.ndarray, np.ndarray] | None = None
-    pairs_by_refpos: tuple[np.ndarray, np.ndarray] | None = None
     stats: dict | None = None  # {'pairs', 'k', 'rounds', 'bytes_min'}
 
 
@@ -1395,9 +1385,9 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
         # build (one cached pass over n) is skipped below that
         _, _, probes_auto = bucket_table(index, k)
         use_bucket = prefer_bucket(index.n, m_s, len(refk), probes_auto)
-    if cfg.mode.value == "mem" and not skip_fused and (
-            mesh is None or len(mesh.devices.flat) == 1):
-        # optimistic single-dispatch fast path (overflow falls through);
+    if not skip_fused and (mesh is None or len(mesh.devices.flat) == 1):
+        # optimistic single-dispatch fast path (overflow falls through;
+        # all modes — MUM/MAM filtering needs only the match set);
         # bucket frontend when the table dwarfs the query batch (the join
         # re-sorts n + m entries, the bucket search is O(m log maxbucket))
         backend = cfg.match_backend
@@ -1472,8 +1462,7 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     else:
         lo, width, cum, summary = query_frontend(refk, qt, k, stride)
     summary_h = np.asarray(summary)
-    if cfg.mode.value == "mem":
-        _set_last_total(index, k, int(summary_h[0]), stride=stride)
+    _set_last_total(index, k, int(summary_h[0]), stride=stride)
     return pairs_to_matches(index, lo, width, k, m_p, cfg, mesh, sa_aug,
                             cum=cum, summary=summary_h, qt=qt,
                             stride=stride, ext_r=ext_r,
@@ -1541,17 +1530,9 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
     lo_ext = jnp.concatenate([lo, jnp.zeros((block,), lo.dtype)])
     w_ext = jnp.concatenate([width, jnp.zeros((block,), width.dtype)])
 
-    want_pairs = cfg.mode.value != "mem"
-    use_boundary = ((not want_pairs) and qt is not None
-                    and cfg.match_backend == "boundary" and stride == 1)
+    use_boundary = (qt is not None and cfg.match_backend == "boundary"
+                    and stride == 1)
     batches: list[RunBatch] = []
-    pair_chunks: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
-
-    def _collect(batch: RunBatch) -> None:
-        if want_pairs and batch.pair_qpos is not None:
-            pair_chunks.append(
-                (batch.pair_qpos, batch.pair_refpos, batch.pair_ext))
-        batches.append(batch)
 
     run_cap = max(4096, capacity // 16)
     m_off32 = jnp.asarray(int(diag_mod) // 2, jnp.int32)
@@ -1624,7 +1605,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                 _set_last_total(index, k, total_pairs,
                                 max(int(ns_a.sum()), int(ne_a.sum())))
             return _mem_result(total_pairs, len(blocks))
-        elif not want_pairs:
+        else:
             # run-triple path (also the sparse multi-round path)
             pending = []
             for start, end in blocks:
@@ -1655,20 +1636,9 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                         jnp.asarray(start, jnp.int64),
                         jnp.asarray(end, jnp.int64), m_off32, capacity,
                         block, stride)
-                    _collect(runs_from_sorted_pairs(
+                    batches.append(runs_from_sorted_pairs(
                         np.asarray(d_s), np.asarray(q_s),
-                        int(diag_mod) // 2, k, want_pairs))
-        else:
-            pend = []
-            for start, end in blocks:
-                pend.append(expand_block_pairs(
-                    sa_aug, lo_ext, w_ext,
-                    jnp.asarray(start, jnp.int64), jnp.asarray(end, jnp.int64),
-                    m_off32, capacity, block))
-            for d_s, q_s in pend:
-                _collect(runs_from_sorted_pairs(
-                    np.asarray(d_s), np.asarray(q_s), int(diag_mod) // 2, k,
-                    want_pairs))
+                        int(diag_mod) // 2))
     else:
         from slamem_tpu.dist.seed import (expand_boundaries_gathered,
                                           expand_runs_gathered,
@@ -1704,8 +1674,8 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                                ns, ne)
                     else:
                         _fallback_host_flags(st, en)
-            elif not want_pairs:
-                # production MEM path: on-device sort + run compaction,
+            else:
+                # production path: on-device sort + run compaction,
                 # triples merged via all_gather/psum collectives before
                 # emission (BASELINE north star) — the host decodes runs
                 gd, gqs, gqe, gnr, _tot = expand_runs_gathered(
@@ -1729,18 +1699,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                             block, stride)
                         batches.append(runs_from_sorted_pairs(
                             np.asarray(d_s), np.asarray(q_s),
-                            int(diag_mod) // 2, k, False))
-            else:
-                d_all, q_all, _total = sharded_expand_sort(
-                    mesh, sa_aug, lo_ext, w_ext,
-                    jnp.asarray(starts), jnp.asarray(limits),
-                    m_off32, capacity, block)
-                d_h = np.asarray(d_all)
-                q_h = np.asarray(q_all)
-                for di in range(len(group)):
-                    _collect(runs_from_sorted_pairs(
-                        d_h[di], q_h[di], int(diag_mod) // 2, k,
-                        want_pairs))
+                            int(diag_mod) // 2))
         if use_boundary:
             return _mem_result(
                 int(summary[0]) if summary is not None else -1, len(blocks))
@@ -1748,9 +1707,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
     if stride != 1:
         matches = _finalize_strided(batches, qt, ext_r, k, stride, cfg)
     else:
-        matches = finalize_matches(batches,
-                                   pair_chunks if want_pairs else None,
-                                   k, m, diag_mod, cfg)
+        matches = finalize_matches(batches, k, cfg)
     if summary is not None:
         total_pairs = int(summary[0])
         matches.stats = {"pairs": total_pairs, "k": k,
@@ -1799,97 +1756,77 @@ def _finalize_strided(batches: list[RunBatch], qt, ext_r, k: int,
                        qpos=qstart[keep], length=length[keep])
 
 
-def finalize_matches(batches: list[RunBatch],
-                     pair_chunks: list | None, k: int, m: int,
-                     diag_mod: np.int64, cfg: Config) -> SeedMatches:
-    """Merge per-round/per-shard run fragments into final matches (and, for
-    MUM/MAM, rebuild the sorted pair-key tables the occurrence counts use).
-    Shared tail of the replicated and sharded paths."""
+def finalize_matches(batches: list[RunBatch], k: int,
+                     cfg: Config) -> SeedMatches:
+    """Merge per-round/per-shard run fragments into final matches.
+    Shared tail of the replicated and sharded paths. MUM/MAM occurrence
+    uniqueness is decided later from the match set itself
+    (apply_mode_filter) — no per-pair data survives the rounds."""
     runs = merge_runs(batches) if batches else RunBatch(
         np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64))
     length = runs.qend - runs.qstart + k
     keep = length >= cfg.min_length
-    matches = SeedMatches(
+    return SeedMatches(
         refpos=(runs.diag + runs.qstart)[keep],
         qpos=runs.qstart[keep],
         length=length[keep],
     )
-
-    if pair_chunks is not None:
-        # Pair extents computed inside a round understate runs merged across
-        # rounds; recompute from the merged runs: a pair (diag, qpos) belongs
-        # to the unique merged run with that diag and qstart <= qpos <= qend.
-        if pair_chunks:
-            pq = np.concatenate([c[0] for c in pair_chunks])
-            pr = np.concatenate([c[1] for c in pair_chunks])
-        else:
-            pq = pr = np.zeros(0, np.int64)
-        pdiag = pr - pq
-        ro = _sort_diag_qstart(runs.diag, runs.qstart)
-        rdiag, rqs, rqe = runs.diag[ro], runs.qstart[ro], runs.qend[ro]
-        idx = np.searchsorted(
-            rdiag * np.int64(diag_mod) + rqs,
-            pdiag * np.int64(diag_mod) + pq, side="right") - 1
-        pext = k + rqe[idx] - pq
-        big = np.int64(max(int(pext.max()) if pext.size else 0, m, k) + 2)
-        # stable (radix-leaning) sort is ~1.7x quicksort on int64 keys at
-        # the dense pair counts MUM/MAM carry (~0.8 -> 0.5 s at 4M)
-        matches.pairs_by_qpos = (np.sort(pq * big + pext, kind="stable"),
-                                 big)
-        matches.pairs_by_refpos = (np.sort(pr * big + pext, kind="stable"),
-                                   big)
-    return matches
 
 
 # ---------------------------------------------------------------------------
 # MUM / MAM filtering (SURVEY.md §3.4)
 # ---------------------------------------------------------------------------
 
-def _count_ext_geq(sorted_keys: np.ndarray, big: np.int64, group: np.ndarray,
-                   min_ext: np.ndarray) -> np.ndarray:
-    """#pairs with group key == group[i] and extension >= min_ext[i].
+def _unique_intervals(start: np.ndarray, end: np.ndarray) -> np.ndarray:
+    """keep[i] = no OTHER interval [start_j, end_j] contains interval i.
 
-    sorted_keys holds group*big + ext ascending; ext < big, so
-    [group*big + min_ext, (group+1)*big) is exactly the wanted range.
+    Sort by (start asc, end desc): any container of i sorts before i and
+    its end survives in the exclusive prefix max; exact duplicates contain
+    each other, so the earlier twin (which the prefix max misses) is caught
+    by the adjacent-duplicate test. O(N log N), fully vectorized.
     """
-    lo = np.searchsorted(sorted_keys, group * big + min_ext, side="left")
-    hi = np.searchsorted(sorted_keys, (group + 1) * big, side="left")
-    return hi - lo
-
-
-def ref_occurrence_counts(matches: SeedMatches) -> np.ndarray:
-    """#occurrences in the reference of each match's full string.
-
-    occ(m) = #pairs at qpos == m.qpos with extension >= m.length: each such
-    pair lies on a distinct diagonal, i.e. is a distinct ref occurrence of
-    exactly the string q[m.qpos : m.qpos + m.length].
-    """
-    keys, big = matches.pairs_by_qpos
-    return _count_ext_geq(keys, big, matches.qpos, matches.length)
-
-
-def query_occurrence_counts(matches: SeedMatches) -> np.ndarray:
-    """#occurrences in the query of each (reference-unique) match's string.
-
-    Valid for MAM survivors: the string occurs at a single ref position r,
-    so its query occurrences correspond one-to-one to pairs at refpos == r
-    with extension >= m.length. The engine runs one query sequence at a
-    time, so the count is naturally per query sequence.
-    """
-    keys, big = matches.pairs_by_refpos
-    return _count_ext_geq(keys, big, matches.refpos, matches.length)
+    n = start.size
+    if n == 0:
+        return np.zeros(0, bool)
+    order = np.lexsort((-end, start))
+    s, e = start[order], end[order]
+    contained = np.zeros(n, bool)
+    contained[1:] = np.maximum.accumulate(e)[:-1] >= e[1:]
+    contained[:-1] |= (s[:-1] == s[1:]) & (e[:-1] == e[1:])
+    keep = np.empty(n, bool)
+    keep[order] = ~contained
+    return keep
 
 
 def apply_mode_filter(matches: SeedMatches, cfg: Config) -> SeedMatches:
-    """MEM: identity. MAM: ref-unique. MUM: ref-unique AND query-unique."""
+    """MEM: identity. MAM: ref-unique. MUM: ref-unique AND query-unique.
+
+    Occurrence uniqueness is decided from the MATCH SET ALONE — no pair
+    tables, no dense seeding (r2 VERDICT #6). Proof sketch (reference
+    semantics: slaMEM's MUM/MAM uniqueness filters, SURVEY.md §3.4):
+
+      * ref occurrences of m's string q[m.qpos : m.qpos+m.length] biject
+        with maximal matches whose QUERY interval contains m's: an
+        occurrence at ref position p extends maximally to a match with
+        qstart <= m.qpos, qend >= m.qpos + m.length on diagonal p - m.qpos
+        (distinct p -> distinct diagonal -> distinct match), and
+        conversely such a match witnesses an occurrence at
+        diag + m.qpos. So occ_ref(m) == 1 iff no OTHER match's query
+        interval contains m's.
+      * query occurrences of the same string biject with maximal matches
+        whose REF interval [refpos, refpos+length) contains m's (same
+        argument mirrored; distinct query position -> distinct diagonal).
+
+    Every containing match has length >= m.length >= min_length, so the
+    min-length-filtered match set the engines emit contains every
+    candidate container — including under sparse seeding, whose coverage
+    guarantee applies to all matches >= min_length (choose_stride).
+    """
     if cfg.mode.value == "mem":
         return matches
-    keep = ref_occurrence_counts(matches) == 1
-    sub = SeedMatches(matches.refpos[keep], matches.qpos[keep],
-                      matches.length[keep], matches.pairs_by_qpos,
-                      matches.pairs_by_refpos, stats=matches.stats)
-    if cfg.mode.value == "mam":
-        return sub
-    keep2 = query_occurrence_counts(sub) == 1
-    return SeedMatches(sub.refpos[keep2], sub.qpos[keep2], sub.length[keep2],
-                       stats=sub.stats)
+    keep = _unique_intervals(matches.qpos, matches.qpos + matches.length)
+    if cfg.mode.value == "mum":
+        keep &= _unique_intervals(matches.refpos,
+                                  matches.refpos + matches.length)
+    return SeedMatches(matches.refpos[keep], matches.qpos[keep],
+                       matches.length[keep], stats=matches.stats)

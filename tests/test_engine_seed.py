@@ -482,3 +482,52 @@ def test_choose_seed_k_sparse_policy():
     assert choose_seed_k_sparse(250_000_000, 50_000_000, 50, 12) == 12
     # short L keeps K >= 8
     assert choose_seed_k_sparse(1000, 1000, 10, 32) == 8
+
+
+def test_mode_filter_containment_adversarial():
+    """Run-containment uniqueness (apply_mode_filter) vs oracle on inputs
+    built to stress it: tandem repeats (nested intervals), exact duplicate
+    intervals (two ref occurrences with identical query extents), and a
+    triple-occurrence string; sparse seeding forced on and off."""
+    ref = random_genome(3000, seed=501)
+    ref[1000:1100] = ref[200:300]            # duplicate (MAM killer)
+    ref[2000:2100] = ref[200:300]            # triplicate
+    ref[1500:1560] = ref[1520:1580]          # overlapping self-copy (tandem)
+    qry = mutate(ref, 0.01, 0.001, seed=502)
+    qry = np.concatenate([qry, qry[240:320]])  # query-side duplication
+    for mode in (MatchMode.MEM, MatchMode.MAM, MatchMode.MUM):
+        for sparse in ("auto", "off"):
+            check(ref, qry, Config(min_length=14, mode=mode,
+                                   sparse_seeds=sparse))
+
+
+def test_mode_filter_sparse_path_used():
+    """MUM/MAM now ride sparse seeding (stride > 1) — assert the plan says
+    so and the result still matches the oracle."""
+    from slamem_tpu.engine.seed_mode import choose_seed_plan
+
+    cfg = Config(min_length=20, mode=MatchMode.MAM)
+    _k, stride, sparse = choose_seed_plan(1_000_000, 100_000, cfg)
+    assert sparse and stride > 1
+    ref = random_genome(5000, seed=511)
+    ref[3000:3200] = ref[500:700]
+    qry = mutate(ref, 0.012, 0.001, seed=512)
+    check(ref, qry, Config(min_length=20, mode=MatchMode.MAM))
+    check(ref, qry, Config(min_length=20, mode=MatchMode.MUM))
+
+
+def test_unique_intervals_unit():
+    from slamem_tpu.engine.seed_mode import _unique_intervals
+
+    s = np.array([0, 0, 5, 6, 6, 10, 20])
+    e = np.array([9, 9, 8, 8, 7, 15, 30])
+    # [0,9] twin x2 -> both contained by each other; [5,8] inside [0,9];
+    # [6,8] inside [5,8]; [6,7] inside; [10,15] overlaps [0,9]? no (10>9),
+    # not contained; [20,30] free
+    got = _unique_intervals(s, e)
+    assert got.tolist() == [False, False, False, False, False, True, True]
+    assert _unique_intervals(np.array([], np.int64),
+                             np.array([], np.int64)).size == 0
+    # containment strictly by interval, not adjacency
+    s2 = np.array([0, 1]); e2 = np.array([5, 6])
+    assert _unique_intervals(s2, e2).tolist() == [True, True]
