@@ -176,6 +176,10 @@ def lex_searchsorted(words: tuple[jax.Array, ...],
 
 _seed_table_cache: dict[tuple[int, int], tuple] = {}
 _last_total_cache: dict[tuple[int, int], tuple] = {}
+# (id(index.sa), k, stride) keys whose split expansion overflowed once —
+# the planner stops splitting them (the plain delta-fill path is always
+# correct; split is a measured ~8 ms/call optimization for thin widths)
+_split_blocklist: set[tuple[int, int, int]] = set()
 
 
 def _last_total(index: FMIndex, k: int, stride: int = 1
@@ -632,6 +636,57 @@ def _expand_pairs_core(sa_aug: jax.Array, lo: jax.Array,
     return d_s, q_s
 
 
+def _expand_pairs_split(sa_aug: jax.Array, lo: jax.Array, width: jax.Array,
+                        m_off: jax.Array, resid_k: int, resid_cap: int,
+                        stride: int = 1
+                        ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Split ragged expansion for thin width distributions.
+
+    At the 5 Mbp headline 77% of samples have width exactly 1 and only
+    1.5% have width >= 2 (splitprof r3 histogram), yet _expand_seg pays
+    its scatter+cumsum skeleton over the full pair capacity. Split:
+
+      * part A — every sample's FIRST pair by direct gather (no scatter);
+      * part B — the top-resid_k widest samples' REMAINDERS (lo+1, w-1)
+        through the ordinary delta-fill into a small resid_cap buffer.
+
+    Returns (d_sorted, q_sorted, overflow): bit-identical sorted pairs to
+    _expand_pairs_core (measured equal at the headline) unless overflow —
+    a wide sample missed top_k or the remainders overflow resid_cap — in
+    which case pairs may be missing and the CALLER MUST DISCARD the result
+    (the fused wire reports n_runs = int32max so the host falls through to
+    the multi-round path, which recomputes from lo/width).
+    """
+    ns = lo.shape[0]
+    nmax = sa_aug.shape[0] - 1
+    slot = jnp.arange(ns, dtype=jnp.int32)
+    sa0 = sa_aug[jnp.clip(lo, 0, nmax)]
+    ok_a = (width >= 1) & (sa0 >= 0)
+    ref_a = sa0 & jnp.int32(0x7FFFFFFF)
+    qpos_a = slot * jnp.int32(stride) if stride != 1 else slot
+    d_a = jnp.where(ok_a, ref_a - qpos_a + m_off, _I32MAX)
+    q_a = jnp.where(ok_a, slot, _I32MAX)
+
+    wv, wi = jax.lax.top_k(width, resid_k)
+    lo_b = lo[wi] + jnp.int32(1)
+    w_b = jnp.maximum(wv - 1, 0)
+    seg_c, sa_idx_raw, in_range = _expand_seg(lo_b, w_b, resid_cap)
+    sb = sa_aug[jnp.clip(sa_idx_raw, 0, nmax)]
+    qidx = wi[jnp.clip(seg_c, 0, resid_k - 1)]
+    ok_b = in_range & (sb >= 0)
+    ref_b = sb & jnp.int32(0x7FFFFFFF)
+    qpos_b = qidx * jnp.int32(stride) if stride != 1 else qidx
+    d_b = jnp.where(ok_b, ref_b - qpos_b + m_off, _I32MAX)
+    q_b = jnp.where(ok_b, qidx, _I32MAX)
+
+    d_s, q_s = jax.lax.sort((jnp.concatenate([d_a, d_b]),
+                             jnp.concatenate([q_a, q_b])),
+                            dimension=0, num_keys=2)
+    resid_total = jnp.sum(jnp.maximum(width - 1, 0).astype(jnp.int64))
+    overflow = (wv[resid_k - 1] >= 2) | (resid_total > resid_cap)
+    return d_s, q_s, overflow
+
+
 @functools.partial(jax.jit, static_argnames=("k", "stride"))
 def query_frontend(refk, qt: jax.Array, k: int, stride: int = 1):
     """Fused packing + sorted search + planning stats: one dispatch.
@@ -927,7 +982,8 @@ def expand_block_to_runs(sa_aug, lo_full, w_full, start, limit,
 def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
                 run_capacity: int, backend: str, stride: int = 1,
                 ext_r=None, kept_capacity: int | None = None,
-                minlen: int = 0):
+                minlen: int = 0,
+                split: tuple[int, int] | None = None):
     """Shared fused-query tail: expansion + run extraction, ONE int32 wire.
 
     backend "sort": kept-run triples (3 x kept_capacity) +
@@ -967,10 +1023,21 @@ def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
         packed = jnp.concatenate([sd, sq, ed, eq,
                                   jnp.stack([ns, ne]), clipped])
     else:
-        d_s, q_s = _expand_pairs_core(sa_aug, lo, width, jnp.int32(0),
-                                      m_off, capacity, stride)
+        if split is not None:
+            resid_k, resid_cap = split
+            d_s, q_s, split_ovf = _expand_pairs_split(
+                sa_aug, lo, width, m_off, resid_k, resid_cap, stride)
+        else:
+            d_s, q_s = _expand_pairs_core(sa_aug, lo, width, jnp.int32(0),
+                                          m_off, capacity, stride)
+            split_ovf = None
         run_d, run_qs, run_qe, n_runs, _n_pairs = _compact_pair_runs(
             d_s, q_s, run_capacity)
+        if split_ovf is not None:
+            # discarded-result contract (_expand_pairs_split): an int32max
+            # run count fails the host's n_runs <= run_capacity check, so
+            # it falls through to the multi-round recompute from lo/width
+            n_runs = jnp.where(split_ovf, _I32MAX, n_runs)
         if stride != 1:
             ext_q = ext_arrays(qt)
             run_qs, run_qe = _extend_core(
@@ -1001,11 +1068,11 @@ def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
 @functools.partial(jax.jit,
                    static_argnames=("k", "capacity", "run_capacity",
                                     "backend", "stride", "kept_capacity",
-                                    "minlen"))
+                                    "minlen", "split"))
 def fused_query(text, refk, sa_aug, qt, k: int, capacity: int,
                 run_capacity: int, backend: str = "sort", stride: int = 1,
                 ext_r=None, kept_capacity: int | None = None,
-                minlen: int = 0):
+                minlen: int = 0, split: tuple[int, int] | None = None):
     """Whole MEM query in ONE dispatch for the common single-round case.
 
     Packs K-mers, joins intervals, expands and extracts runs optimistically
@@ -1020,25 +1087,25 @@ def fused_query(text, refk, sa_aug, qt, k: int, capacity: int,
     lo, width = _join_intervals(refk, qk_w, qvalid)
     return _fused_tail(text, qt, lo, width, sa_aug, qt.shape[0], k,
                        capacity, run_capacity, backend, stride, ext_r,
-                       kept_capacity, minlen)
+                       kept_capacity, minlen, split)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "capacity", "run_capacity", "shift",
                                     "probes", "backend", "stride",
-                                    "kept_capacity", "minlen"))
+                                    "kept_capacity", "minlen", "split"))
 def fused_query_bucket(text, refk, starts, sa_aug, qt, k: int,
                        capacity: int, run_capacity: int, shift: int,
                        probes: int, backend: str = "sort", stride: int = 1,
                        ext_r=None, kept_capacity: int | None = None,
-                       minlen: int = 0):
+                       minlen: int = 0, split: tuple[int, int] | None = None):
     """fused_query with the bucket frontend — for references much larger
     than the query batch, where the join would re-sort n + m entries."""
     qk_w, qvalid = sampled_query_keys(qt, k, stride)
     lo, width = _bucket_intervals(refk, starts, qk_w, qvalid, shift, probes)
     return _fused_tail(text, qt, lo, width, sa_aug, qt.shape[0], k,
                        capacity, run_capacity, backend, stride, ext_r,
-                       kept_capacity, minlen)
+                       kept_capacity, minlen, split)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "block", "stride"))
@@ -1268,11 +1335,14 @@ def choose_seed_k(n: int, m: int, min_length: int, cap: int) -> int:
 def choose_seed_k_sparse(n: int, m: int, min_length: int, cap: int) -> int:
     """Seed depth for the sparse-seeded MEM path (stride chosen from K).
 
-    Two measured facts (scripts/tpu_experiments.py seedk_headline):
+    Two measured facts (scripts/tpu_experiments.py seedk_headline,
+    re-swept in splitprof after the r3 frontend rewrite):
     * At short L the stride bound S <= L-K+1 makes K itself the sampling
-      lever: K = L-6 (S = 7) ran 20% faster than K = L-4 (S = 5) at the
-      5 Mbp headline, while pushing further (S = 8, 9) REGRESSED despite
-      fewer samples and pairs — S = 7 is the sweet spot, kept for L <= 22.
+      lever: with the r2 frontend K = L-6 (S = 7) was the knee; after the
+      r3 carried-validity pack + paired direct-table gather, K = L-7
+      (S = 8) wins (46.2 vs 44.0 Mbp/s at the 5 Mbp headline; S = 9
+      regresses to 43.3) — fewer samples AND a 4x smaller direct table
+      (256 MB at K = 13) keep paying until noise bites. Kept for L <= 22.
     * The collision term must count SAMPLED windows: noise ~ n*(m/S)/4^K.
       The dense estimate n*m/4^16 sent chr1-scale queries to dual-word
       K = 32 (30 bucket gathers per sample) when single-word K = 16 only
@@ -1296,7 +1366,7 @@ def choose_seed_k_sparse(n: int, m: int, min_length: int, cap: int) -> int:
         if (cap >= 14 and (1 << 28) <= 64 * n and noise(14) < (4 << 20)):
             k = 14
     else:
-        k = min(min_length, cap, max(8, min(min_length - 6, 16)))
+        k = min(min_length, cap, max(8, min(min_length - 7, 16)))
     if noise(k) < (1 << 20) or (k == 14 and noise(k) < (4 << 20)):
         return k
     k16 = min(min_length, 16, cap)  # deepest single-word seed
@@ -1376,6 +1446,19 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     kept_cap = run_cap
     if last_kept is not None:
         kept_cap = min(run_cap, capacity_bucket(last_kept, 1 << 12, run_cap))
+    # split expansion (thin width distributions: pairs ~ samples) replaces
+    # the capacity-wide delta-fill skeleton with a direct first-pair gather
+    # + small residual buffer; overflow falls back and blocks the key
+    m_s_plan = -(-m_p // stride)
+    split = None
+    if (cfg.match_backend == "sort" and last_pairs
+            and last_pairs <= 2 * m_s_plan
+            and (id(index.sa), k, stride) not in _split_blocklist):
+        resid_floor = max(1024, min(1 << 16, capacity // 8))
+        resid = capacity_bucket(
+            max(4 * max(last_pairs - m_s_plan, 0), resid_floor),
+            resid_floor, max(resid_floor, capacity // 4))
+        split = (min(resid, m_s_plan), resid)
     skip_fused = (last_pairs > capacity
                   or (last_runs is not None and last_runs > run_cap))
     m_s = m_p // stride
@@ -1399,12 +1482,12 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
             lo, width, cum, summary, packed = fused_query_bucket(
                 index.text, refk, starts, sa_aug, qt, k,
                 capacity, run_cap, shift, probes, backend, stride, ext_r,
-                kept_capacity=kept_cap, minlen=minlen)
+                kept_capacity=kept_cap, minlen=minlen, split=split)
         else:
             lo, width, cum, summary, packed = fused_query(
                 index.text, refk, sa_aug, qt, k, capacity,
                 run_cap, backend, stride, ext_r,
-                kept_capacity=kept_cap, minlen=minlen)
+                kept_capacity=kept_cap, minlen=minlen, split=split)
         wire = np.asarray(packed)  # the one round trip
         total, max_w = int(wire[-2]), int(wire[-1])
 
@@ -1415,7 +1498,7 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                 refpos=(runs_obj.diag + runs_obj.qstart)[keep],
                 qpos=runs_obj.qstart[keep], length=length[keep],
                 stats={"pairs": total, "k": k, "rounds": 1,
-                       "stride": stride,
+                       "stride": stride, "split": split is not None,
                        "bytes_min": roofline_bytes(
                            index.n, m_p, len(refk), total,
                            bucket=use_bucket, stride=stride,
@@ -1437,6 +1520,18 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                 return _fused_result(bb.runs(m_p + 1))
         else:
             n_kept, n_runs = int(wire[-4]), int(wire[-3])
+            if split is not None and n_runs == np.iinfo(np.int32).max:
+                # split-expansion overflow: the pair set may be incomplete
+                # (discarded-result contract, _expand_pairs_split) — block
+                # the key and recompute via the multi-round path; total
+                # (from the frontend widths) is still exact
+                _split_blocklist.add((id(index.sa), k, stride))
+                _set_last_total(index, k, total, stride=stride)
+                return pairs_to_matches(
+                    index, lo, width, k, m_p, cfg, mesh, sa_aug, cum=cum,
+                    summary=np.asarray(summary), qt=qt, stride=stride,
+                    ext_r=ext_r,
+                    frontend=(use_bucket, probes_used, len(refk)))
             # n_kept counts keep-flags over compacted run slots, so it is
             # exact only when the raw run buffer held every run; a truncated
             # round must not poison the kept-buffer prediction either

@@ -465,8 +465,9 @@ def test_adaptive_run_cap_decoupled(monkeypatch):
 def test_choose_seed_k_sparse_policy():
     from slamem_tpu.engine.seed_mode import choose_seed_k_sparse
 
-    # headline (5 Mbp, L=20): K = L-6 = 14 -> stride 7 (measured optimum)
-    assert choose_seed_k_sparse(5_000_000, 5_000_000, 20, 32) == 14
+    # headline (5 Mbp, L=20): K = L-7 = 13 -> stride 8 (r3 measured optimum
+    # after the carried-validity pack + paired direct-table gather)
+    assert choose_seed_k_sparse(5_000_000, 5_000_000, 20, 32) == 13
     # chr21 (40 Mbp, L=50): direct-addressable K=14 (zero-probe buckets),
     # sampled noise ~430K well within one round
     assert choose_seed_k_sparse(40_000_000, 40_000_000, 50, 32) == 14
@@ -531,3 +532,53 @@ def test_unique_intervals_unit():
     # containment strictly by interval, not adjacency
     s2 = np.array([0, 1]); e2 = np.array([5, 6])
     assert _unique_intervals(s2, e2).tolist() == [True, True]
+
+
+def test_split_expansion_equivalence_and_overflow(monkeypatch):
+    """Repeat calls flip to the split expansion (pairs ~ samples); results
+    stay oracle-exact. A forced split overflow falls back to the
+    multi-round recompute, blocks the key, and later calls stay correct."""
+    from slamem_tpu.engine import seed_mode
+
+    ref = random_genome(6000, seed=601)
+    qry = mutate(ref, 0.01, 0.001, seed=602)
+    cfg = Config(min_length=16)
+    index = build_index(np.asarray(ref, np.uint8), occ_block=32)
+    want = oracle_tuples(ref, qry, cfg)
+    split_seen = []
+    for _ in range(3):
+        m = find_seed_matches(index, np.asarray(qry, np.uint8), cfg)
+        assert sorted(zip(m.refpos.tolist(), m.qpos.tolist(),
+                          m.length.tolist())) == want
+        split_seen.append(bool(m.stats and m.stats.get("split")))
+    assert split_seen[0] is False and split_seen[-1] is True
+
+    # force an overflow inside the split path: every call reports discard
+    real = seed_mode._expand_pairs_split
+
+    def always_overflow(sa_aug, lo, width, m_off, rk, rc, stride=1):
+        d, q, _ = real(sa_aug, lo, width, m_off, rk, rc, stride)
+        import jax.numpy as jnp
+        return d, q, jnp.bool_(True)
+
+    seed_mode._split_blocklist.clear()
+    monkeypatch.setattr(seed_mode, "_expand_pairs_split", always_overflow)
+    seed_mode.fused_query.clear_cache()  # retrace picks up the patch
+    seed_mode.fused_query_bucket.clear_cache()
+    fused_query_cache_buster = Config(min_length=16, pair_capacity_max=1 << 21)
+    m1 = find_seed_matches(index, np.asarray(qry, np.uint8),
+                           fused_query_cache_buster)
+    m2 = find_seed_matches(index, np.asarray(qry, np.uint8),
+                           fused_query_cache_buster)  # split on, overflows
+    monkeypatch.undo()
+    seed_mode.fused_query.clear_cache()   # drop traces of the patched fn
+    seed_mode.fused_query_bucket.clear_cache()
+    got2 = sorted(zip(m2.refpos.tolist(), m2.qpos.tolist(),
+                      m2.length.tolist()))
+    assert got2 == want
+    assert any(key[0] == id(index.sa) for key in seed_mode._split_blocklist)
+    m3 = find_seed_matches(index, np.asarray(qry, np.uint8),
+                           fused_query_cache_buster)  # blocked: plain path
+    got3 = sorted(zip(m3.refpos.tolist(), m3.qpos.tolist(),
+                      m3.length.tolist()))
+    assert got3 == want and not (m3.stats or {}).get("split")
