@@ -49,8 +49,8 @@ class Config:
     # strain pair; transient expansion buffers ~10x capacity x 4 B fit HBM)
     pair_capacity_max: int = 1 << 25
     occ_block: int = 128            # occ checkpoint spacing (symbols)
-    # scan-engine rank backend: "auto" = Pallas interleaved-row kernel on
-    # TPU, XLA gather on CPU; "pallas"/"xla" force one (kernels/rank.py)
+    # scan-engine rank backend: "auto" = nibble-SWAR row gather (fastest
+    # measured r3 A/B); "nib"/"pallas"/"xla" force one (kernels/rank.py)
     rank_kernel: str = "auto"
     # seed interval frontend: "auto" = bucket search only when the table
     # dwarfs the query batch (measured crossover n > 64m — prefer_bucket,

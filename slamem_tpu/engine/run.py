@@ -13,7 +13,7 @@ import time
 
 import numpy as np
 
-from slamem_tpu.config import Config, MatchMode
+from slamem_tpu.config import Config
 from slamem_tpu.engine import seed_mode
 from slamem_tpu.index.build import FMIndex, build_index
 from slamem_tpu.io.fasta import FastaSet, revcomp_codes
@@ -63,7 +63,7 @@ def _search_one(index: FMIndex, qcodes: np.ndarray, cfg: Config,
         matches = scan_mode.find_scan_matches(index, qcodes, cfg)
     else:
         raise ValueError(f"unknown engine {cfg.engine!r}")
-    return seed_mode.apply_mode_filter(matches, cfg)
+    return matches  # mode filter applied per (sequence, strand) by callers
 
 
 def run_engine(ref_set: FastaSet, query_set: FastaSet, cfg: Config,
@@ -113,12 +113,14 @@ def run_engine(ref_set: FastaSet, query_set: FastaSet, cfg: Config,
 
     def _run_queries() -> None:
         nonlocal qbp
-        if cfg.mode == MatchMode.MEM and (query_set.num_seqs > 1
-                                          or cfg.both_strands):
-            # MEM needs no per-sequence uniqueness state: every (sequence,
-            # strand) combination joins into ONE separator-delimited text — a
-            # single engine dispatch for the whole request (BASELINE config #2
-            # shape; -b gets both strands in the same dispatch).
+        if query_set.num_seqs > 1 or cfg.both_strands:
+            # Every (sequence, strand) combination joins into ONE
+            # separator-delimited text — a single engine dispatch for the
+            # whole request (BASELINE config #2 shape; -b gets both strands
+            # in the same dispatch). MUM/MAM uniqueness is per (sequence,
+            # strand) — slaMEM walks one query at a time (SURVEY.md §3.2) —
+            # so the containment filter runs on each entry's slice, whose
+            # query-coordinate range is disjoint from every other entry's.
             entries = [(qi, rev) for qi in range(query_set.num_seqs)
                        for rev in strands]
             parts = []
@@ -140,8 +142,8 @@ def run_engine(ref_set: FastaSet, query_set: FastaSet, cfg: Config,
                                              side="right") - 1
             for e, (qi, rev) in enumerate(entries):  # ref emission order
                 sel = entry_of_match == e
-                sub = seed_mode.SeedMatches(
-                    m.refpos[sel], m.qpos[sel], m.length[sel])
+                sub = seed_mode.apply_mode_filter(seed_mode.SeedMatches(
+                    m.refpos[sel], m.qpos[sel], m.length[sel]), cfg)
                 _emit(qi, rev, sub, int(qstarts[e]))
         else:
             for qi in range(query_set.num_seqs):
@@ -153,7 +155,8 @@ def run_engine(ref_set: FastaSet, query_set: FastaSet, cfg: Config,
                     with log.phase("query", bp=len(qcodes),
                                    seq=query_set.names[qi],
                                    reverse=rev) as rec:
-                        m = _search_one(index, qcodes, cfg, mesh=mesh)
+                        m = seed_mode.apply_mode_filter(
+                            _search_one(index, qcodes, cfg, mesh=mesh), cfg)
                         _attach_roofline(rec, m)
                     _emit(qi, rev, m, 0)
 

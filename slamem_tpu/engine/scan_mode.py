@@ -55,18 +55,24 @@ def get_pyramid(index: FMIndex) -> LcpPyramid:
     return pyr
 
 
-def _occ_fn(index: FMIndex, rows, use_pallas: bool, interpret: bool = False):
-    """Batched occ closure: Pallas interleaved-row kernel or XLA gather.
+def _occ_fn(index: FMIndex, rows, kernel: str, interpret: bool = False):
+    """Batched occ closure: nibble-SWAR row gather (default), Pallas DMA
+    kernel, or the element-gather reference.
 
     The Pallas path pads the batch to the kernel's 1024-query granule inside
     the closure; under jit the lane count is static so this compiles once.
     """
-    if not use_pallas:
-        return lambda chars, positions: rank_batch(index, chars, positions)
-    from slamem_tpu.kernels.rank import rank_rows
+    if kernel == "nib":
+        from slamem_tpu.kernels.rank import rank_rows_nib
 
-    return lambda chars, positions: rank_rows(rows, chars, positions,
-                                              interpret=interpret)
+        return lambda chars, positions: rank_rows_nib(rows, chars,
+                                                      positions)
+    if kernel == "pallas":
+        from slamem_tpu.kernels.rank import rank_rows
+
+        return lambda chars, positions: rank_rows(rows, chars, positions,
+                                                  interpret=interpret)
+    return lambda chars, positions: rank_batch(index, chars, positions)
 
 
 def _backward(index: FMIndex, occ_fn, c: jax.Array, lo: jax.Array,
@@ -79,13 +85,13 @@ def _backward(index: FMIndex, occ_fn, c: jax.Array, lo: jax.Array,
     return base + occ[:k], base + occ[k:]
 
 
-@functools.partial(jax.jit, static_argnames=("L", "lane_block", "use_pallas",
+@functools.partial(jax.jit, static_argnames=("L", "lane_block", "kernel",
                                              "interpret"))
 def _scan_lanes(index: FMIndex, pyr: LcpPyramid, rows, qt: jax.Array, L: int,
-                lane_block: int, use_pallas: bool = False,
+                lane_block: int, kernel: str = "nib",
                 interpret: bool = False):
     """Lockstep capped-MS scan; returns (lo, width) at depth L per position."""
-    occ_fn = _occ_fn(index, rows, use_pallas, interpret)
+    occ_fn = _occ_fn(index, rows, kernel, interpret)
     m = qt.shape[0]
     n = index.n
     B = lane_block
@@ -147,24 +153,21 @@ def _scan_lanes(index: FMIndex, pyr: LcpPyramid, rows, qt: jax.Array, L: int,
     return out_lo, out_w
 
 
-def _want_pallas(rank_kernel: str) -> tuple[bool, bool]:
-    """Resolve Config.rank_kernel -> (use_pallas, interpret).
+def _want_pallas(rank_kernel: str) -> tuple[str, bool]:
+    """Resolve Config.rank_kernel -> (kernel name, interpret).
 
-    'auto' = compiled Pallas on TPU, XLA gather on CPU; 'pallas'/'xla' force
-    one; 'pallas_interpret' runs the kernel logic through the interpreter
+    'auto' = the nibble-SWAR row-gather path (fastest measured on both TPU
+    and CPU, kernels/rank.py r3 A/B); 'pallas'/'xla'/'nib' force one;
+    'pallas_interpret' runs the Pallas kernel logic through the interpreter
     (CPU equivalence tests).
     """
     if rank_kernel == "pallas":
-        return True, False
+        return "pallas", False
     if rank_kernel == "pallas_interpret":
-        return True, True
+        return "pallas", True
     if rank_kernel == "xla":
-        return False, False
-    import jax
-
-    # Mosaic lowers only on TPU: 'auto' must not hand the kernel to a GPU
-    # or other non-TPU accelerator (they fall back to the XLA gather path)
-    return jax.devices()[0].platform == "tpu", False
+        return "xla", False
+    return "nib", False
 
 
 def scan_intervals(index: FMIndex, query_text: np.ndarray, L: int,
@@ -173,14 +176,18 @@ def scan_intervals(index: FMIndex, query_text: np.ndarray, L: int,
     """Per-position SA intervals of q[i:i+L] (width 0 where absent)."""
     qt = jnp.asarray(query_text, dtype=jnp.uint8)
     pyr = get_pyramid(index)
-    use_pallas, interpret = _want_pallas(rank_kernel)
-    if use_pallas:
+    kernel, interpret = _want_pallas(rank_kernel)
+    if kernel == "pallas":
         from slamem_tpu.kernels.rank import interleaved_rows
 
         rows = interleaved_rows(index)
+    elif kernel == "nib":
+        from slamem_tpu.kernels.rank import nibble_rows
+
+        rows = nibble_rows(index)
     else:
         rows = jnp.zeros((1, 128), jnp.uint32)  # unused placeholder
-    lo, w = _scan_lanes(index, pyr, rows, qt, L, lane_block, use_pallas,
+    lo, w = _scan_lanes(index, pyr, rows, qt, L, lane_block, kernel,
                         interpret)
     return lo, w
 

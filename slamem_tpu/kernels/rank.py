@@ -203,6 +203,102 @@ def rank_pallas(index: FMIndex, chars: jax.Array, positions: jax.Array,
                      interpret=interpret)
 
 
+@functools.partial(jax.jit, static_argnames=("row_words",))
+def _build_rows_nib(bwt: jax.Array, row_words: int = ROW_WORDS) -> jax.Array:
+    """Interleaved (rows, row_words) uint32 occ/BWT table, NIBBLE-packed.
+
+    row b = [occ_A..occ_T at block start | (row_words-4) words x 8
+    nibbles]. Symbols 0..6 (ACGT + N/SEP/pad) fit a nibble, so a 512 B row
+    covers 992 BWT symbols — 2x the byte layout — and the in-block count
+    runs as an exact SWAR zero-nibble test + hardware popcount instead of
+    four byte-unpack/compare passes.
+
+    row_words is the FM block-size knob (measured r3, 4M random queries,
+    5 Mbp index): per-query latency is nearly flat in row bytes
+    (25.4 ns at 512 B, 34.3 ns at 2 KB) because one random row access
+    costs ~the same regardless of its length, so wider rows trade a
+    little latency for a lot of bandwidth and a smaller checkpoint table:
+    256 B 10.0 / 512 B 20.2 / 1 KB 34.3 / 2 KB 59.8 GB/s. 128 words
+    (512 B) is the latency-optimal engine default; 512 words (2 KB) the
+    bandwidth point bench.py --rank records against the 819 GB/s roofline.
+    """
+    nib_per = (row_words - CNT_WORDS) * 8
+    n = bwt.shape[0]
+    nrows = n // nib_per + 1
+    pad = nrows * nib_per - n
+    sym = jnp.concatenate([bwt, jnp.full((pad,), 6, jnp.uint8)]).reshape(
+        nrows, nib_per)
+    per_row = (sym[:, :, None] ==
+               jnp.arange(4, dtype=jnp.uint8)[None, None, :]).sum(
+                   axis=1, dtype=jnp.uint32)
+    prefix = jnp.cumsum(per_row, axis=0) - per_row
+    nib = sym.reshape(nrows, row_words - CNT_WORDS, 8).astype(jnp.uint32)
+    shifts = (jnp.arange(8, dtype=jnp.uint32) * 4)[None, None, :]
+    words = (nib << shifts).sum(axis=2, dtype=jnp.uint32)
+    return jnp.concatenate([prefix, words], axis=1)
+
+
+_rows_nib_cache: dict[tuple[int, int], tuple] = {}
+
+
+def nibble_rows(index: FMIndex, row_words: int = ROW_WORDS) -> jax.Array:
+    """Cached nibble-packed occ/BWT table for an index."""
+    key = (id(index.sa), row_words)
+    hit = _rows_nib_cache.get(key)
+    if hit is not None and hit[0] is index.sa:
+        return hit[1]
+    rows = _build_rows_nib(index.bwt, row_words)
+    if len(_rows_nib_cache) > 8:
+        _rows_nib_cache.clear()
+    _rows_nib_cache[key] = (index.sa, rows)
+    return rows
+
+
+@jax.jit
+def rank_rows_nib(rows: jax.Array, chars: jax.Array, positions: jax.Array
+                  ) -> jax.Array:
+    """occ(c, j) over the nibble table: one row gather + SWAR count.
+
+    Zero-nibble detector (exact, no cross-nibble borrows): with
+    t = y & 0x77777777, the nibble-high bit of ((t + 0x77777777) | y) is
+    set unless the nibble is zero — adding 7 to a 3-bit value never
+    carries out of its nibble. XOR with the query char first, so zero
+    nibbles mark matching symbols; mask nibbles at positions >= within
+    (full words below the boundary word, a (1 << 4p) - 1 prefix inside
+    it), then lax.population_count sums the markers.
+    """
+    row_words = rows.shape[1]
+    nib_per = (row_words - CNT_WORDS) * 8
+    c32 = chars.astype(jnp.uint32)
+    p32 = positions.astype(jnp.int32)
+    blk = p32 // nib_per
+    within = p32 - blk * nib_per
+    row = jnp.take(rows, blk, axis=0)                # (batch, row_words)
+    base = jnp.take_along_axis(row[:, :CNT_WORDS],
+                               chars.astype(jnp.int32)[:, None],
+                               axis=1)[:, 0]
+    w = row[:, CNT_WORDS:]                           # (batch, nwords)
+    rep = c32 * jnp.uint32(0x11111111)
+    y = w ^ rep[:, None]
+    t = y & jnp.uint32(0x77777777)
+    nz = ~((t + jnp.uint32(0x77777777)) | y) & jnp.uint32(0x88888888)
+    widx = jnp.arange(row_words - CNT_WORDS, dtype=jnp.int32)[None, :]
+    wf = (within // 8)[:, None]
+    pmask = ((jnp.uint32(1) << ((within % 8).astype(jnp.uint32) * 4))
+             - jnp.uint32(1))[:, None]
+    mask = jnp.where(widx < wf, jnp.uint32(0xFFFFFFFF),
+                     jnp.where(widx == wf, pmask, jnp.uint32(0)))
+    cnt = jax.lax.population_count(nz & mask).sum(axis=1,
+                                                  dtype=jnp.uint32)
+    return (base + cnt).astype(jnp.int32)
+
+
+def rank_nib(index: FMIndex, chars: jax.Array, positions: jax.Array,
+             row_words: int = ROW_WORDS) -> jax.Array:
+    """occ(c, j) batched — nibble-SWAR XLA path (the fast default)."""
+    return rank_rows_nib(nibble_rows(index, row_words), chars, positions)
+
+
 @jax.jit
 def rank_rows_xla(rows: jax.Array, chars: jax.Array, positions: jax.Array
                   ) -> jax.Array:

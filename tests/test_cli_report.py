@@ -201,3 +201,34 @@ def test_cli_nonzero_process_emits_nothing(small_pair, tmp_path, monkeypatch):
     monkeypatch.setattr(dm, "is_output_process", lambda: True)
     assert main(["-l", "15", "-o", str(out), rp, qp]) == 0
     assert out.exists() and len(out.read_text().splitlines()) > 1
+
+
+def test_multifasta_mum_mam_joined_dispatch(tmp_path):
+    """MUM/MAM multi-FASTA queries ride the joined single-dispatch path;
+    per-sequence uniqueness must match a per-sequence oracle run."""
+    from slamem_tpu.oracle.naive import oracle_matches
+
+    ref = random_genome(4000, seed=801)
+    ref[2500:2650] = ref[500:650]  # duplication so MAM/MUM bite
+    seqs = [Sequence(f"s{j}", mutate(ref, 0.01 + 0.002 * j, 0.001,
+                                     seed=810 + j)) for j in range(3)]
+    # plant a query-side duplication inside s1 (MUM killer)
+    seqs[1].codes[1000:1100] = seqs[1].codes[200:300]
+    rp, qp = str(tmp_path / "r.fa"), str(tmp_path / "q.fa")
+    write_fasta(rp, [Sequence("R", ref)])
+    write_fasta(qp, seqs)
+    for mode in ("mam", "mum"):
+        out = tmp_path / f"o_{mode}.txt"
+        assert main([f"-{mode}", "-l", "14", "-o", str(out), rp, qp]) == 0
+        got: dict[str, set] = {s.name: set() for s in seqs}
+        cur = None
+        for line in out.read_text().splitlines():
+            if line.startswith(">"):
+                cur = line[1:].strip().split()[0]
+            else:
+                p = line.split()
+                got[cur].add((int(p[0]) - 1, int(p[1]) - 1, int(p[2])))
+        for s in seqs:
+            want = set((int(a), int(b), int(c)) for a, b, c in
+                       oracle_matches(ref, s.codes, 14, mode))
+            assert got[s.name] == want, (mode, s.name)

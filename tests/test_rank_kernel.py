@@ -64,3 +64,28 @@ def test_rank_pallas_compiled_on_tpu():
     want = np.asarray(rank_batch(idx, jnp.asarray(chars), jnp.asarray(pos)))
     got = np.asarray(rank_pallas(idx, jnp.asarray(chars), jnp.asarray(pos)))
     assert np.array_equal(got, want)
+
+
+def test_rank_nibble_matches_reference():
+    """Nibble-SWAR rank == rank_batch, both row widths, N/SEP content."""
+    import jax.numpy as jnp
+
+    from slamem_tpu.index.build import build_index, rank_batch
+    from slamem_tpu.kernels.rank import rank_nib
+    from slamem_tpu.utils.synth import random_genome, with_n_runs
+
+    t = with_n_runs(random_genome(60_000, seed=71), 3, 25, seed=72)
+    index = build_index(t)
+    rng = np.random.default_rng(73)
+    chars = jnp.asarray(rng.integers(0, 4, 4096).astype(np.int32))
+    pos = jnp.asarray(rng.integers(0, index.n + 1, 4096).astype(np.int32))
+    want = np.asarray(rank_batch(index, chars, pos))
+    for rw in (128, 512):
+        got = np.asarray(rank_nib(index, chars, pos, row_words=rw))
+        assert np.array_equal(want, got), rw
+    # block-boundary and end positions
+    edges = np.array([0, 1, 991, 992, 993, index.n - 1, index.n], np.int32)
+    ec = jnp.asarray(np.arange(7, dtype=np.int32) % 4)
+    ep = jnp.asarray(edges)
+    assert np.array_equal(np.asarray(rank_batch(index, ec, ep)),
+                          np.asarray(rank_nib(index, ec, ep)))
