@@ -259,6 +259,18 @@ def run_stage_bench(size: int = SIZE, minlen: int = MINLEN,
     if last_kept is not None:
         kept_cap = min(run_cap,
                        sm.capacity_bucket(last_kept, 1 << 12, run_cap))
+    # reproduce the split-expansion plan (exact residual from the wire)
+    m_s_plan = -(-m_p // stride)
+    last_nz = sm._last_nonzero(index, k, stride)
+    split = None
+    if cfg.match_backend == "sort" and last_pairs and last_nz is not None:
+        resid_est = max(0, last_pairs - last_nz)
+        resid_floor = max(1024, min(1 << 16, capacity // 8))
+        if 2 * resid_est <= max(resid_floor, capacity // 2):
+            resid = sm.capacity_bucket(max(2 * resid_est, resid_floor),
+                                       resid_floor,
+                                       max(resid_floor, capacity // 2))
+            split = (min(resid, m_s_plan), resid)
     m_s = m_p // stride
     use_bucket = cfg.frontend == "bucket"
     probes = 12
@@ -302,12 +314,12 @@ def run_stage_bench(size: int = SIZE, minlen: int = MINLEN,
             out = sm.fused_query_bucket(
                 index.text, refk, starts, sa_aug, qt, k, capacity, run_cap,
                 shift, probes, cfg.match_backend, stride, ext_r,
-                kept_capacity=kept_cap, minlen=minl)
+                kept_capacity=kept_cap, minlen=minl, split=split)
         else:
             out = sm.fused_query(
                 index.text, refk, sa_aug, qt, k, capacity, run_cap,
                 cfg.match_backend, stride, ext_r,
-                kept_capacity=kept_cap, minlen=minl)
+                kept_capacity=kept_cap, minlen=minl, split=split)
         state["packed"] = out[4]
         np.asarray(out[3])
     fused()
@@ -453,7 +465,8 @@ def main() -> int:
         for key, fn in (("config2_10strains_l30", run_config2_bench),
                         ("config3_mam_l20", run_mam_bench),
                         ("chr1_250mbp_l50", run_chr1_bench),
-                        ("rank_kernel", run_rank_bench)):
+                        ("rank_kernel", run_rank_bench),
+                        ("stages_5mbp_l20", run_stage_bench)):
             try:
                 detail[key] = fn()
             except Exception as e:  # no scenario may mask the headline

@@ -1396,5 +1396,43 @@ def splitprof():
         sys.stdout.flush()
 
 
+
+def chr21k13():
+    """chr21-scale (40 Mbp, -l 50) A/B: K=14 vs K=13 direct tables after
+    the r3 frontend rewrite (K=13 won the 5 Mbp L=20 sweep; at L=50 the
+    stride decouples from K, so fewer samples no longer favor small K —
+    this measures whether the 4x-smaller table still pays)."""
+    import jax
+
+    from slamem_tpu.config import Config
+    from slamem_tpu.engine import seed_mode as sm
+    from slamem_tpu.index.build import build_index
+    from slamem_tpu.utils.synth import strain_pair
+
+    ref, qry = strain_pair(40_000_000, seed=20260816, sub_rate=0.015,
+                           indel_rate=0.0015)
+    t0 = time.perf_counter()
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    print(json.dumps({"exp": "chr21k13", "build_s": time.perf_counter() - t0}))
+    sys.stdout.flush()
+    for kc in (14, 13, 16):
+        cfg = Config(min_length=50, seed_length_cap=kc)
+        mm = sm.find_seed_matches(index, qry, cfg)
+        mm = sm.find_seed_matches(index, qry, cfg)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            mm = sm.find_seed_matches(index, qry, cfg)
+            ts.append(time.perf_counter() - t0)
+        kk, ss, _sp = sm.choose_seed_plan(index.n, len(qry), cfg)
+        print(json.dumps({"exp": "chr21k13", "kcap": kc, "k": kk,
+                          "stride": ss, "s": min(ts),
+                          "mbp_per_s": len(qry) / 1e6 / min(ts),
+                          "matches": int(mm.length.size),
+                          "stats": mm.stats}))
+        sys.stdout.flush()
+
+
 if __name__ == "__main__":
     globals()[sys.argv[1]]()

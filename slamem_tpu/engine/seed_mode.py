@@ -197,13 +197,28 @@ def _last_total(index: FMIndex, k: int, stride: int = 1
     return 0, None, None
 
 
+def _last_nonzero(index: FMIndex, k: int, stride: int = 1) -> int | None:
+    """Last observed count of samples with width >= 1 (None if unknown).
+
+    last_pairs - last_nonzero is EXACTLY the residual pair mass the split
+    expansion must buffer (each nonzero sample contributes its first pair
+    directly), so the planner sizes/gates split from it instead of
+    guessing from the pair/sample ratio (which chr21 K=14 disproved:
+    pairs < samples yet 44% of pairs were residual)."""
+    hit = _last_total_cache.get((id(index.sa), k, stride))
+    if hit is not None and hit[0] is index.sa and len(hit) > 4:
+        return hit[4]
+    return None
+
+
 def _set_last_total(index: FMIndex, k: int, total: int,
                     runs: int | None = None, stride: int = 1,
-                    kept: int | None = None) -> None:
+                    kept: int | None = None,
+                    nonzero: int | None = None) -> None:
     if len(_last_total_cache) > 16:
         _last_total_cache.clear()
     _last_total_cache[(id(index.sa), k, stride)] = (index.sa, total, runs,
-                                                    kept)
+                                                    kept, nonzero)
 
 # fallback rounds may grow their buffers (amortizing dispatch overhead) only
 # when the configured capacity is at least this — deliberately small
@@ -987,7 +1002,9 @@ def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
     """Shared fused-query tail: expansion + run extraction, ONE int32 wire.
 
     backend "sort": kept-run triples (3 x kept_capacity) +
-    [n_kept, n_runs, total, max_w]; backend "boundary": start/end events
+    [nz, n_kept, n_runs, total, max_w] (nz = samples with width >= 1, the
+    split planner's exact residual input); backend "boundary": start/end
+    events
     (4 x run_capacity) + [n_starts, n_ends, total, max_w]. The exact int64
     cum/summary stay device-resident for the overflow path. With stride > 1
     (sparse seeding, sort backend only) run cores are extended to exact
@@ -1058,8 +1075,10 @@ def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
             run_qs, mode="drop")
         kqe = jnp.full((kcap,), -1, jnp.int32).at[tgt].set(
             run_qe, mode="drop")
+        nz = jnp.sum(width >= 1, dtype=jnp.int32)  # split-planner input
         packed = jnp.concatenate([kd, kqs, kqe,
-                                  jnp.stack([n_kept.astype(jnp.int32),
+                                  jnp.stack([nz,
+                                             n_kept.astype(jnp.int32),
                                              n_runs.astype(jnp.int32)]),
                                   clipped])
     return lo, width, cum, summary, packed
@@ -1446,19 +1465,25 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
     kept_cap = run_cap
     if last_kept is not None:
         kept_cap = min(run_cap, capacity_bucket(last_kept, 1 << 12, run_cap))
-    # split expansion (thin width distributions: pairs ~ samples) replaces
-    # the capacity-wide delta-fill skeleton with a direct first-pair gather
-    # + small residual buffer; overflow falls back and blocks the key
+    # split expansion (thin width distributions) replaces the capacity-wide
+    # delta-fill skeleton with a direct first-pair gather + small residual
+    # buffer. The residual pair mass is EXACT from last call's wire:
+    # last_pairs - last_nonzero (each nonzero sample emits its first pair
+    # directly). Gate: residual must fit a buffer <= capacity/2 or the
+    # concat+sort grows past what the skeleton saved. Overflow (stale
+    # prediction) falls back and blocks the key.
     m_s_plan = -(-m_p // stride)
+    last_nz = _last_nonzero(index, k, stride)
     split = None
-    if (cfg.match_backend == "sort" and last_pairs
-            and last_pairs <= 2 * m_s_plan
+    if (cfg.match_backend == "sort" and last_pairs and last_nz is not None
             and (id(index.sa), k, stride) not in _split_blocklist):
+        resid_est = max(0, last_pairs - last_nz)
         resid_floor = max(1024, min(1 << 16, capacity // 8))
-        resid = capacity_bucket(
-            max(4 * max(last_pairs - m_s_plan, 0), resid_floor),
-            resid_floor, max(resid_floor, capacity // 4))
-        split = (min(resid, m_s_plan), resid)
+        if 2 * resid_est <= max(resid_floor, capacity // 2):
+            resid = capacity_bucket(max(2 * resid_est, resid_floor),
+                                    resid_floor,
+                                    max(resid_floor, capacity // 2))
+            split = (min(resid, m_s_plan), resid)
     skip_fused = (last_pairs > capacity
                   or (last_runs is not None and last_runs > run_cap))
     m_s = m_p // stride
@@ -1519,6 +1544,7 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                        wire[3 * run_cap:4 * run_cap], ns, ne)
                 return _fused_result(bb.runs(m_p + 1))
         else:
+            nz = int(wire[-5])  # exact even on overflow (frontend widths)
             n_kept, n_runs = int(wire[-4]), int(wire[-3])
             if split is not None and n_runs == np.iinfo(np.int32).max:
                 # split-expansion overflow: the pair set may be incomplete
@@ -1526,7 +1552,7 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                 # the key and recompute via the multi-round path; total
                 # (from the frontend widths) is still exact
                 _split_blocklist.add((id(index.sa), k, stride))
-                _set_last_total(index, k, total, stride=stride)
+                _set_last_total(index, k, total, stride=stride, nonzero=nz)
                 return pairs_to_matches(
                     index, lo, width, k, m_p, cfg, mesh, sa_aug, cum=cum,
                     summary=np.asarray(summary), qt=qt, stride=stride,
@@ -1537,7 +1563,8 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
             # round must not poison the kept-buffer prediction either
             runs_exact = fits and n_runs <= run_cap
             _set_last_total(index, k, total, n_runs if fits else None,
-                            stride, kept=n_kept if runs_exact else None)
+                            stride, kept=n_kept if runs_exact else None,
+                            nonzero=nz)
             if runs_exact and n_kept <= kept_cap:
                 return _fused_result(runs_from_compacted32(
                     wire[:kept_cap], wire[kept_cap:2 * kept_cap],
