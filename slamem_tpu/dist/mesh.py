@@ -29,10 +29,23 @@ def initialize_multihost() -> bool:
     """
     import os
 
-    if not (os.environ.get("JAX_COORDINATOR_ADDRESS")
-            or os.environ.get("COORDINATOR_ADDRESS")):
+    coord = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+             or os.environ.get("COORDINATOR_ADDRESS"))
+    if not coord:
         return False
-    jax.distributed.initialize()
+    nproc = (os.environ.get("JAX_NUM_PROCESSES")
+             or os.environ.get("NUM_PROCESSES"))
+    pid = (os.environ.get("JAX_PROCESS_ID")
+           or os.environ.get("PROCESS_ID"))
+    if nproc is not None and pid is not None:
+        # manual launch (also how tests/test_dist.py drives a REAL
+        # two-process CPU runtime); cloud launchers omit these and rely
+        # on jax's cluster auto-detection below
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=int(nproc),
+                                   process_id=int(pid))
+    else:
+        jax.distributed.initialize()
     return jax.process_count() > 1
 
 
