@@ -160,7 +160,7 @@ def rank_rows_padded(rows: jax.Array, chars: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GSIZE, TILE), lambda i: (i, jnp.int32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # rows stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # rows stay in HBM
         ],
         out_specs=pl.BlockSpec((GSIZE, TILE), lambda i: (i, jnp.int32(0)),
                                memory_space=pltpu.VMEM),
