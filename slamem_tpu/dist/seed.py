@@ -25,38 +25,6 @@ except AttributeError:  # pragma: no cover
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mesh", "capacity", "block"))
-def sharded_expand_sort(mesh: Mesh, sa_aug: jax.Array,
-                        lo_ext: jax.Array, w_ext: jax.Array,
-                        starts: jax.Array, limits: jax.Array,
-                        m_off, capacity: int, block: int):
-    """Expand ndev fixed-size blocks at once -> [ndev, capacity] int32 pairs.
-
-    lo_ext/w_ext are the full (block-padded) interval arrays, replicated;
-    each shard receives only its (start, limit) scalars and slices its block
-    inside the program — fixed shapes, one compile, near-zero host traffic.
-    The psum'd total pair count rides along as the cross-shard statistic.
-    (Raw-pair all_gather merging was superseded by the run-triple collective
-    merge in expand_runs_gathered — the production emission path.)
-    """
-    from slamem_tpu.engine.seed_mode import _block_slices, _expand_pairs_core
-
-    def step(sa_aug, lo, w, st, lim, m_off):
-        lo_b, w_b, q_start = _block_slices(lo, w, st[0], lim[0], block)
-        d_s, q_s = _expand_pairs_core(sa_aug, lo_b, w_b, q_start, m_off,
-                                      capacity)
-        count = jnp.sum(d_s != _I32MAX)
-        total = jax.lax.psum(count, "q")
-        return d_s[None], q_s[None], total[None]
-
-    fn = shard_map(
-        step, mesh=mesh,
-        in_specs=(P(), P(), P(), P("q"), P("q"), P()),
-        out_specs=(P("q", None), P("q", None), P("q")))
-    return fn(sa_aug, lo_ext, w_ext, starts, limits, m_off)
-
-
-@functools.partial(jax.jit,
                    static_argnames=("mesh", "capacity", "run_capacity",
                                     "block", "stride"))
 def expand_runs_gathered(mesh: Mesh, sa_aug: jax.Array,

@@ -38,21 +38,20 @@ from slamem_tpu.index.build import FMIndex, rank_batch
 from slamem_tpu.index.lcp import lcp_adjacent
 from slamem_tpu.kernels.lcp_search import LcpPyramid, expand, parent_depth
 
-_pyramid_cache: dict[int, tuple[FMIndex, LcpPyramid]] = {}
+from slamem_tpu.utils.devcache import DevCache
+
+_pyramid_cache = DevCache("lcp_pyramid")
 
 
 def get_pyramid(index: FMIndex) -> LcpPyramid:
     """LCP pyramid for an index, cached (one per live index object)."""
     key = id(index.sa)
-    hit = _pyramid_cache.get(key)
-    if hit is not None and hit[0].sa is index.sa:
-        return hit[1]
+    hit = _pyramid_cache.get(key, index.sa)
+    if hit is not None:
+        return hit
     lcp = lcp_adjacent(index.text, index.sa)
     pyr = LcpPyramid.build(lcp)
-    if len(_pyramid_cache) > 4:
-        _pyramid_cache.clear()
-    _pyramid_cache[key] = (index, pyr)
-    return pyr
+    return _pyramid_cache.put(key, index.sa, pyr)
 
 
 def _occ_fn(index: FMIndex, rows, kernel: str, interpret: bool = False):

@@ -44,14 +44,17 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import weakref
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from slamem_tpu.config import Config
+from slamem_tpu.engine import adaptive
 from slamem_tpu.index.build import FMIndex
 from slamem_tpu.io.fasta import CODE_N
+from slamem_tpu.utils.devcache import DevCache
 
 # ---------------------------------------------------------------------------
 # K-mer packing
@@ -174,25 +177,30 @@ def lex_searchsorted(words: tuple[jax.Array, ...],
         (jnp.zeros((m,), jnp.int32), jnp.full((m,), n, jnp.int32)))[0]
 
 
-_seed_table_cache: dict[tuple[int, int], tuple] = {}
+_seed_table_cache = DevCache("seed_table")
 _last_total_cache: dict[tuple[int, int], tuple] = {}
 # (id(index.sa), k, stride) keys whose split expansion overflowed once —
 # the planner stops splitting them (the plain delta-fill path is always
 # correct; split is a measured ~8 ms/call optimization for thin widths)
 _split_blocklist: set[tuple[int, int, int]] = set()
+# (id(index.sa), k, stride) -> adaptive-disk record key, registered by
+# seed_last_from_disk; _set_last_total writes observations through to disk
+# under it so a COLD process dispatches the snapped shape family first
+# (VERDICT r3 #1: three shape families made the official bench time out)
+_disk_key_of: dict[tuple[int, int, int], str] = {}
 
 
 def _last_total(index: FMIndex, k: int, stride: int = 1
                 ) -> tuple[int, int | None, int | None]:
     """Last observed (pair count, run count, kept-run count) for
-    (index, k, stride); guarded by array identity like the sibling caches
-    (a recycled id() must not mis-steer the fused-skip heuristic). runs /
-    kept are None when the last call went through a path that never
+    (index, k, stride); guarded by (weak) array identity like the sibling
+    caches (a recycled id() must not mis-steer the fused-skip heuristic).
+    runs / kept are None when the last call went through a path that never
     measured them. kept counts runs surviving the min-length filter — it
     sizes the fused wire (the filter runs on device, so only kept triples
     cross the tunnel)."""
     hit = _last_total_cache.get((id(index.sa), k, stride))
-    if hit is not None and hit[0] is index.sa:
+    if hit is not None and hit[0]() is index.sa:
         return hit[1], hit[2], hit[3]
     return 0, None, None
 
@@ -206,7 +214,7 @@ def _last_nonzero(index: FMIndex, k: int, stride: int = 1) -> int | None:
     guessing from the pair/sample ratio (which chr21 K=14 disproved:
     pairs < samples yet 44% of pairs were residual)."""
     hit = _last_total_cache.get((id(index.sa), k, stride))
-    if hit is not None and hit[0] is index.sa and len(hit) > 4:
+    if hit is not None and hit[0]() is index.sa and len(hit) > 4:
         return hit[4]
     return None
 
@@ -217,8 +225,43 @@ def _set_last_total(index: FMIndex, k: int, total: int,
                     nonzero: int | None = None) -> None:
     if len(_last_total_cache) > 16:
         _last_total_cache.clear()
-    _last_total_cache[(id(index.sa), k, stride)] = (index.sa, total, runs,
-                                                    kept, nonzero)
+    _last_total_cache[(id(index.sa), k, stride)] = (
+        weakref.ref(index.sa), total, runs, kept, nonzero)
+    dk = _disk_key_of.get((id(index.sa), k, stride))
+    if dk is not None:
+        adaptive.put(dk, {
+            "pairs": total, "runs": runs, "kept": kept, "nonzero": nonzero,
+            "split_blocked": (id(index.sa), k, stride) in _split_blocklist})
+
+
+def seed_last_from_disk(index: FMIndex, k: int, stride: int, m_p: int,
+                        query_text: np.ndarray) -> None:
+    """Seed the in-memory adaptive state from the persistent store.
+
+    Registers the disk key for write-through either way; fills
+    _last_total_cache / _split_blocklist only when the process has no
+    fresher in-memory observation. Records are hints: a stale count
+    mis-sizes a buffer and the overflow fallback corrects (and rewrites)
+    it — correctness never depends on this store (engine/adaptive.py)."""
+    from slamem_tpu.index.build import index_digest
+
+    memkey = (id(index.sa), k, stride)
+    dk = adaptive.record_key(index_digest(index), k, stride, m_p,
+                             adaptive.query_fingerprint(query_text))
+    if len(_disk_key_of) > 64:
+        _disk_key_of.clear()
+    _disk_key_of[memkey] = dk
+    hit = _last_total_cache.get(memkey)
+    if hit is not None and hit[0]() is index.sa:
+        return    # in-memory observation wins (query-insensitive, as before)
+    rec = adaptive.get(dk)
+    if rec is None:
+        return
+    _last_total_cache[memkey] = (weakref.ref(index.sa), int(rec["pairs"]),
+                                 rec.get("runs"), rec.get("kept"),
+                                 rec.get("nonzero"))
+    if rec.get("split_blocked"):
+        _split_blocklist.add(memkey)
 
 # fallback rounds may grow their buffers (amortizing dispatch overhead) only
 # when the configured capacity is at least this — deliberately small
@@ -258,16 +301,13 @@ def seed_table(index: FMIndex, k: int
     sequence/strand.
     """
     key = (id(index.sa), k)
-    hit = _seed_table_cache.get(key)
-    if hit is not None and hit[0] is index.sa:
-        return hit[1], hit[2]
+    hit = _seed_table_cache.get(key, index.sa)
+    if hit is not None:
+        return hit
     words, valid = packed_key_words(index.text, k)
     refk_words = tuple(w[index.sa] for w in words)
     sa_aug = augment_sa(index.sa, valid[index.sa])
-    if len(_seed_table_cache) > 8:
-        _seed_table_cache.clear()
-    _seed_table_cache[key] = (index.sa, refk_words, sa_aug)
-    return refk_words, sa_aug
+    return _seed_table_cache.put(key, index.sa, (refk_words, sa_aug))
 
 
 # ---------------------------------------------------------------------------
@@ -292,7 +332,7 @@ def seed_intervals(refk, qk, qvalid: jax.Array
 
 _I32MAX = np.iinfo(np.int32).max
 
-_bucket_cache: dict[tuple[int, int], tuple] = {}
+_bucket_cache = DevCache("bucket_table")
 
 
 @functools.partial(jax.jit, static_argnames=("bbits", "shift"))
@@ -325,9 +365,9 @@ def _build_bucket_table(refk0: jax.Array, bbits: int, shift: int):
 def bucket_table(index: FMIndex, k: int):
     """(starts, shift, probes) for the bucket frontend, cached per index."""
     key = (id(index.sa), k)
-    hit = _bucket_cache.get(key)
-    if hit is not None and hit[0] is index.sa:
-        return hit[1], hit[2], hit[3]
+    hit = _bucket_cache.get(key, index.sa)
+    if hit is not None:
+        return hit
     refk_words, _ = seed_table(index, k)
     word0_bits = 2 * min(k, 16)
     # Direct addressing: when ONE word holds the whole K-mer and the table
@@ -347,10 +387,7 @@ def bucket_table(index: FMIndex, k: int):
         probes = 0
     else:
         probes = max(1, int(np.ceil(np.log2(max(int(max_bucket), 2)))) + 1)
-    if len(_bucket_cache) > 8:
-        _bucket_cache.clear()
-    _bucket_cache[key] = (index.sa, starts, shift, probes)
-    return starts, shift, probes
+    return _bucket_cache.put(key, index.sa, (starts, shift, probes))
 
 
 def _bucket_intervals(refk, starts: jax.Array, qk,
@@ -497,20 +534,16 @@ def ext_arrays(text: jax.Array):
     return fx, fxl, lvl, lvr
 
 
-_ext_cache: dict[int, tuple] = {}
+_ext_cache = DevCache("ext_table")
 
 
 def ext_table(index: FMIndex):
     """ext_arrays(index.text), cached per index like seed_table."""
     key = id(index.sa)
-    hit = _ext_cache.get(key)
-    if hit is not None and hit[0] is index.sa:
-        return hit[1]
-    arrs = ext_arrays(index.text)
-    if len(_ext_cache) > 4:
-        _ext_cache.clear()
-    _ext_cache[key] = (index.sa, arrs)
-    return arrs
+    hit = _ext_cache.get(key, index.sa)
+    if hit is not None:
+        return hit
+    return _ext_cache.put(key, index.sa, ext_arrays(index.text))
 
 
 def _ctz_digits(x: jax.Array) -> jax.Array:
@@ -1309,7 +1342,7 @@ def pad_query(query_text: np.ndarray) -> np.ndarray:
                            np.full(m_p - m, CODE_N, np.uint8)])
 
 
-_query_device_cache: dict[int, tuple] = {}
+_query_device_cache = DevCache("query_device")
 
 
 def query_to_device(query_text: np.ndarray) -> tuple[np.ndarray, jax.Array]:
@@ -1322,15 +1355,12 @@ def query_to_device(query_text: np.ndarray) -> tuple[np.ndarray, jax.Array]:
     caches; the first call for any query still pays the full upload.
     """
     key = id(query_text)
-    hit = _query_device_cache.get(key)
-    if hit is not None and hit[0] is query_text:
-        return hit[1], hit[2]
+    hit = _query_device_cache.get(key, query_text)
+    if hit is not None:
+        return hit
     qp = pad_query(query_text)
     qt = jnp.asarray(qp)
-    if len(_query_device_cache) > 4:
-        _query_device_cache.clear()
-    _query_device_cache[key] = (query_text, qp, qt)
-    return qp, qt
+    return _query_device_cache.put(key, query_text, (qp, qt))
 
 
 def choose_seed_k(n: int, m: int, min_length: int, cap: int) -> int:
@@ -1423,22 +1453,40 @@ def prefer_bucket(n: int, m_p: int, words: int = 1,
     return bucket_ns < join_ns
 
 
-def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
-                      mesh=None) -> SeedMatches:
-    """All maximal matches of length >= cfg.min_length (mode filters later).
+@dataclasses.dataclass(frozen=True)
+class FusedPlan:
+    """Everything the fused fast path derives from the adaptive state.
 
-    Seed frontend: packed K-mer sorted search yields per-position intervals
-    at depth K = choose_seed_k(...) <= min(L, seed_length_cap); the shared
-    backend does the rest. The query is padded to a length bucket (N padding
-    produces no windows) so every stage compiles once per bucket, not per
-    query length.
+    THE single planning authority: find_seed_matches executes it, the
+    stage bench (bench.py --stages) reproduces dispatches from it, and
+    convergence-warmup loops compare successive plans to know when the
+    compiled shape family has stabilized (two equal consecutive plans =
+    the next call dispatches already-compiled programs)."""
+
+    k: int
+    stride: int
+    capacity: int
+    run_cap: int
+    kept_cap: int
+    split: tuple[int, int] | None
+    skip_fused: bool
+    use_bucket: bool
+    m_p: int
+
+
+def plan_fused(index: FMIndex, m_p: int, cfg: Config,
+               query_text: np.ndarray | None = None) -> FusedPlan:
+    """Buffer/frontend plan for one fused call, from the adaptive state.
+
+    With query_text given (and an adaptive-eligible capacity) the plan
+    first seeds the in-memory state from the persistent disk store, so a
+    COLD process plans the snapped shape family on its first call — one
+    compile family instead of three (VERDICT r3 #1).
     """
-    qp, qt = query_to_device(query_text)
-    m_p = int(qp.shape[0])
     k, stride, _sparse = choose_seed_plan(index.n, m_p, cfg)
-    refk, sa_aug = seed_table(index, k)
-    ext_r = ext_table(index) if stride != 1 else None
     cap_cfg = int(cfg.pair_capacity)
+    if query_text is not None and cap_cfg >= _GROWTH_MIN_CAPACITY:
+        seed_last_from_disk(index, k, stride, m_p, query_text)
     capacity = cap_cfg
     run_cap = max(4096, capacity // 16)
     last_pairs, last_runs, last_kept = _last_total(index, k, stride)
@@ -1492,8 +1540,32 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
         # the model can only pick the bucket when n >~ 6*m_s, so the table
         # build (one cached pass over n) is skipped below that
         _, _, probes_auto = bucket_table(index, k)
-        use_bucket = prefer_bucket(index.n, m_s, len(refk), probes_auto)
-    if not skip_fused and (mesh is None or len(mesh.devices.flat) == 1):
+        words = 2 if k > 16 else 1
+        use_bucket = prefer_bucket(index.n, m_s, words, probes_auto)
+    return FusedPlan(k=k, stride=stride, capacity=capacity, run_cap=run_cap,
+                     kept_cap=kept_cap, split=split, skip_fused=skip_fused,
+                     use_bucket=use_bucket, m_p=m_p)
+
+
+def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
+                      mesh=None) -> SeedMatches:
+    """All maximal matches of length >= cfg.min_length (mode filters later).
+
+    Seed frontend: packed K-mer sorted search yields per-position intervals
+    at depth K = choose_seed_k(...) <= min(L, seed_length_cap); the shared
+    backend does the rest. The query is padded to a length bucket (N padding
+    produces no windows) so every stage compiles once per bucket, not per
+    query length.
+    """
+    qp, qt = query_to_device(query_text)
+    m_p = int(qp.shape[0])
+    plan = plan_fused(index, m_p, cfg, query_text)
+    k, stride = plan.k, plan.stride
+    capacity, run_cap, kept_cap = plan.capacity, plan.run_cap, plan.kept_cap
+    split, use_bucket = plan.split, plan.use_bucket
+    refk, sa_aug = seed_table(index, k)
+    ext_r = ext_table(index) if stride != 1 else None
+    if not plan.skip_fused and (mesh is None or len(mesh.devices.flat) == 1):
         # optimistic single-dispatch fast path (overflow falls through;
         # all modes — MUM/MAM filtering needs only the match set);
         # bucket frontend when the table dwarfs the query batch (the join
@@ -1763,8 +1835,7 @@ def pairs_to_matches(index: FMIndex, lo: jax.Array, width: jax.Array, k: int,
                         int(diag_mod) // 2))
     else:
         from slamem_tpu.dist.seed import (expand_boundaries_gathered,
-                                          expand_runs_gathered,
-                                          sharded_expand_sort)
+                                          expand_runs_gathered)
 
         ndev = len(mesh.devices.flat)
         for g in range(0, len(blocks), ndev):

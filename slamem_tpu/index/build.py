@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import weakref
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +36,33 @@ import numpy as np
 from slamem_tpu.io.fasta import CODE_N
 
 BWT_SENTINEL = 6  # bwt "char" for the row whose suffix starts at position 0
+
+# id(index.sa) -> (weakref(sa), content digest). Side table instead of an
+# FMIndex field: FMIndex is a registered pytree and aux data participates in
+# jit cache keys — a per-content digest there would recompile every program
+# per reference. The weakref guard handles id() reuse after GC.
+_digest_map: dict[int, tuple] = {}
+
+
+def register_digest(index: "FMIndex", digest: str) -> None:
+    if len(_digest_map) > 64:
+        _digest_map.clear()
+    _digest_map[id(index.sa)] = (weakref.ref(index.sa), digest)
+
+
+def index_digest(index: "FMIndex") -> str:
+    """Content digest of the index's text (for the adaptive disk store).
+
+    Registered at build/load time; the fallback fetches the text to host
+    once (only hand-constructed FMIndex objects hit it)."""
+    hit = _digest_map.get(id(index.sa))
+    if hit is not None and hit[0]() is index.sa:
+        return hit[1]
+    from slamem_tpu.engine.adaptive import text_digest
+
+    digest = text_digest(index.text)
+    register_digest(index, digest)
+    return digest
 
 
 @jax.tree_util.register_pytree_node_class
@@ -204,13 +232,18 @@ def build_index(text: np.ndarray | jax.Array, occ_block: int = 128) -> FMIndex:
     index, so it sorts after all other specials and below every base —
     uniqueness is all the identity needs.
     """
+    from slamem_tpu.engine.adaptive import text_digest
+
+    digest = text_digest(text)  # host-side, before the device transfer
     text = jnp.concatenate(
         [jnp.asarray(text, dtype=jnp.uint8),
          jnp.full((1,), 5, jnp.uint8)])  # CODE_SEP terminator
     sa = suffix_array(text)
     bwt, occ_ckpt, counts = _finish_index(text, sa, occ_block)
-    return FMIndex(text=text, sa=sa, bwt=bwt, occ_ckpt=occ_ckpt,
-                   counts=counts, occ_block=occ_block)
+    index = FMIndex(text=text, sa=sa, bwt=bwt, occ_ckpt=occ_ckpt,
+                    counts=counts, occ_block=occ_block)
+    register_digest(index, digest)
+    return index
 
 
 def rank_batch(index: FMIndex, chars: jax.Array, positions: jax.Array

@@ -36,7 +36,7 @@ def load_index(path: str) -> FMIndex:
             raise ValueError(
                 f"index file {path!r} has format version {version}, "
                 f"this build reads version {FORMAT_VERSION}")
-        return FMIndex(
+        index = FMIndex(
             text=jnp.asarray(z["text"]),
             sa=jnp.asarray(z["sa"]),
             bwt=jnp.asarray(z["bwt"]),
@@ -44,3 +44,11 @@ def load_index(path: str) -> FMIndex:
             counts=jnp.asarray(z["counts"]),
             occ_block=int(z["occ_block"]),
         )
+        # digest from the host copy (build_index strips its appended
+        # terminator before hashing; mirror that so save/load round-trips
+        # key the same adaptive records)
+        from slamem_tpu.engine.adaptive import text_digest
+        from slamem_tpu.index.build import register_digest
+
+        register_digest(index, text_digest(z["text"][:-1]))
+        return index

@@ -43,6 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from slamem_tpu.index.build import FMIndex
+from slamem_tpu.utils.devcache import DevCache
 
 TILE = 128          # queries per sublane tile (one VPU lane row)
 ROW_WORDS = 128     # int32 words per interleaved row (512 B, lane-aligned)
@@ -50,7 +51,7 @@ CNT_WORDS = 4       # leading occ counter words
 SYMS_PER_ROW = (ROW_WORDS - CNT_WORDS) * 4  # 496 BWT symbols per row
 GSIZE = 8           # sublane tiles per program: 8 x TILE = 1024 queries
 
-_rows_cache: dict[int, tuple] = {}
+_rows_cache = DevCache("rank_rows")
 
 
 @jax.jit
@@ -77,14 +78,10 @@ def _build_rows(bwt: jax.Array) -> jax.Array:
 def interleaved_rows(index: FMIndex) -> jax.Array:
     """Cached interleaved occ/BWT table for an index."""
     key = id(index.sa)
-    hit = _rows_cache.get(key)
-    if hit is not None and hit[0] is index.sa:
-        return hit[1]
-    rows = _build_rows(index.bwt)
-    if len(_rows_cache) > 8:
-        _rows_cache.clear()
-    _rows_cache[key] = (index.sa, rows)
-    return rows
+    hit = _rows_cache.get(key, index.sa)
+    if hit is not None:
+        return hit
+    return _rows_cache.put(key, index.sa, _build_rows(index.bwt))
 
 
 def _rank_kernel(pos_smem, chars_vmem, pos_vmem, rows_hbm, out_ref,
@@ -238,20 +235,17 @@ def _build_rows_nib(bwt: jax.Array, row_words: int = ROW_WORDS) -> jax.Array:
     return jnp.concatenate([prefix, words], axis=1)
 
 
-_rows_nib_cache: dict[tuple[int, int], tuple] = {}
+_rows_nib_cache = DevCache("rank_rows_nib")
 
 
 def nibble_rows(index: FMIndex, row_words: int = ROW_WORDS) -> jax.Array:
     """Cached nibble-packed occ/BWT table for an index."""
     key = (id(index.sa), row_words)
-    hit = _rows_nib_cache.get(key)
-    if hit is not None and hit[0] is index.sa:
-        return hit[1]
-    rows = _build_rows_nib(index.bwt, row_words)
-    if len(_rows_nib_cache) > 8:
-        _rows_nib_cache.clear()
-    _rows_nib_cache[key] = (index.sa, rows)
-    return rows
+    hit = _rows_nib_cache.get(key, index.sa)
+    if hit is not None:
+        return hit
+    return _rows_nib_cache.put(key, index.sa,
+                               _build_rows_nib(index.bwt, row_words))
 
 
 @jax.jit

@@ -9,6 +9,9 @@ Compiles over the axon tunnel take minutes; tests must stay on host CPU.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# adaptive-shape hints must not leak between test runs (or in from bench
+# runs): tests exercise exact capacity/overflow behaviors
+os.environ["SLAMEM_ADAPTIVE_DISK"] = "0"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
