@@ -95,7 +95,7 @@ def converge_and_time(call, plan_of, repeats: int, label: str,
     return (min(times) if times else t_warm), t_warm, len(times)
 
 
-def run_bench(size: int, minlen: int, repeats: int = 3) -> dict:
+def run_bench(size: int, minlen: int, repeats: int = 5) -> dict:
     import jax
 
     from slamem_tpu.config import Config

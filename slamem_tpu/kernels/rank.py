@@ -211,13 +211,15 @@ def _build_rows_nib(bwt: jax.Array, row_words: int = ROW_WORDS) -> jax.Array:
     four byte-unpack/compare passes.
 
     row_words is the FM block-size knob (measured r3, 4M random queries,
-    5 Mbp index): per-query latency is nearly flat in row bytes
-    (25.4 ns at 512 B, 34.3 ns at 2 KB) because one random row access
-    costs ~the same regardless of its length, so wider rows trade a
-    little latency for a lot of bandwidth and a smaller checkpoint table:
-    256 B 10.0 / 512 B 20.2 / 1 KB 34.3 / 2 KB 59.8 GB/s. 128 words
-    (512 B) is the latency-optimal engine default; 512 words (2 KB) the
-    bandwidth point bench.py --rank records against the 819 GB/s roofline.
+    5 Mbp index, experiment logs): per-query latency is nearly flat in row
+    bytes (25.4 ns at 512 B, 34.3 ns at 2 KB) because one random row
+    access costs ~its latency regardless of length, so wider rows trade a
+    little latency for a lot of bandwidth and a smaller checkpoint table.
+    128 words (512 B) is the latency-optimal engine default; 512 words
+    (2 KB) and up are the bandwidth points bench.py --rank records against
+    the 819 GB/s roofline — see BENCH_DETAIL.json `rank_kernel` for the
+    committed artifact numbers (the only authority; r3's in-prose 59.8
+    GB/s claim OOM'ed out of its artifact and was retracted).
     """
     nib_per = (row_words - CNT_WORDS) * 8
     n = bwt.shape[0]
