@@ -1434,5 +1434,92 @@ def chr21k13():
         sys.stdout.flush()
 
 
+def rankc():
+    """Rank concurrency/row-width attack on the gather-latency floor
+    (VERDICT r3 #4: >= 120 GB/s device-resident or a committed sweep
+    proving the ceiling).
+
+    The r3 sweep stopped at 2 KB rows on a 5 Mbp index — whose ENTIRE
+    nibble table is ~2.5 MB, so "random" gathers were not honest HBM
+    traffic. This experiment uses a 128 Mbp index (64 MB+ table, far past
+    any cache) and sweeps row width 512 B..16 KB, unsorted vs row-sorted
+    (sequentialized DMA streams), plus a take-only variant (row gather
+    with no SWAR consume) to separate gather cost from compute. Batch is
+    scaled per width to keep per-call traffic ~4 GB.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from slamem_tpu.index.build import build_index, rank_batch
+    from slamem_tpu.kernels import rank as rk
+    from slamem_tpu.utils.synth import strain_pair
+
+    size = 128_000_000
+    ref, _ = strain_pair(size, seed=20260816)
+    t0 = time.perf_counter()
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    print(json.dumps({"exp": "rankc", "build_s": time.perf_counter() - t0,
+                      "n": index.n}))
+    sys.stdout.flush()
+    rng = np.random.default_rng(20260820)
+
+    for row_words in (128, 512, 1024, 2048, 4096):
+        row_bytes = row_words * 4
+        batch = max(1 << 18, min(1 << 22, (4 << 30) // row_bytes))
+        rows = rk.nibble_rows(index, row_words)
+        jax.block_until_ready(rows)
+        nrows = int(rows.shape[0])
+        chars_h = rng.integers(0, 4, size=batch).astype(np.int32)
+        pos_h = rng.integers(0, index.n + 1, size=batch).astype(np.int32)
+        order = np.argsort(pos_h, kind="stable")
+        nib_per = (row_words - 4) * 8
+        uniq = len(np.unique(pos_h // nib_per))
+        chars = jnp.asarray(chars_h)
+        pos = jnp.asarray(pos_h)
+        chars_s = jnp.asarray(chars_h[order])
+        pos_s = jnp.asarray(pos_h[order])
+        # correctness spot check at this width
+        nv = 4096
+        want = np.asarray(rank_batch(index, chars[:nv], pos[:nv]))
+        got = np.asarray(rk.rank_rows_nib(rows, chars[:nv], pos[:nv]))
+        ok = bool(np.array_equal(want, got))
+
+        fn = jax.jit(lambda c, p, r=rows: rk.rank_rows_nib(r, c, p)
+                     .sum(dtype=jnp.int64))
+
+        def take_only(p, r=rows, npr=nib_per):
+            return jnp.take(r, p // npr, axis=0).sum(dtype=jnp.uint32)
+
+        tk = jax.jit(take_only)
+
+        def timed(f, *a):
+            np.asarray(f(*a))
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(f(*a))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        res = {"exp": "rankc", "row_bytes": row_bytes, "batch": batch,
+               "nrows": nrows, "uniq_rows_touched": uniq, "equal": ok}
+        t_u = timed(fn, chars, pos)
+        res["unsorted_s"] = t_u
+        res["unsorted_gb_per_s"] = batch * row_bytes / t_u / 1e9
+        res["unsorted_ns_per_q"] = t_u / batch * 1e9
+        t_s = timed(fn, chars_s, pos_s)
+        res["sorted_s"] = t_s
+        res["sorted_gb_per_s"] = batch * row_bytes / t_s / 1e9
+        t_t = timed(tk, pos)
+        res["take_only_s"] = t_t
+        res["take_only_gb_per_s"] = batch * row_bytes / t_t / 1e9
+        print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                          for k, v in res.items()}))
+        sys.stdout.flush()
+        del rows
+        rk._rows_nib_cache.clear()
+
+
 if __name__ == "__main__":
     globals()[sys.argv[1]]()
