@@ -1521,5 +1521,130 @@ def rankc():
         rk._rows_nib_cache.clear()
 
 
+def rankc2():
+    """Second rank-concurrency round: attack the two walls rankc exposed.
+
+    rankc (128 Mbp, honest HBM) measured: pure row-gather (take-only)
+    saturates ~81-88 GB/s at 4-8 KB rows while the full SWAR path LOSES
+    ground at 8 KB (61.5) — the per-row mask+popcount+lane-reduce is
+    compute-bound at wide rows. Variants here:
+
+      * mm_reduce: replace the lane-dimension popcount sum with an int8 x
+        int8 -> int32 dot against ones (MXU does the reduction, VPU only
+        the SWAR ops);
+      * take4: the batch split into 4 independent gathers summed in one
+        program — does XLA overlap independent gather streams?
+
+    (A half-anchored count — counting toward the nearer row edge to halve
+    the masked SWAR work — is the next candidate if the reduce is not the
+    wall.)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from slamem_tpu.index.build import build_index, rank_batch
+    from slamem_tpu.kernels import rank as rk
+    from slamem_tpu.utils.synth import strain_pair
+
+    size = 128_000_000
+    ref, _ = strain_pair(size, seed=20260816)
+    t0 = time.perf_counter()
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    print(json.dumps({"exp": "rankc2", "build_s": time.perf_counter() - t0}))
+    sys.stdout.flush()
+    rng = np.random.default_rng(20260821)
+
+    def timed(f, *a):
+        np.asarray(f(*a))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f(*a))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    for row_words in (512, 1024, 2048):
+        row_bytes = row_words * 4
+        batch = max(1 << 18, min(1 << 22, (4 << 30) // row_bytes))
+        rows = rk.nibble_rows(index, row_words)
+        jax.block_until_ready(rows)
+        nib_per = (row_words - 4) * 8
+        chars_h = rng.integers(0, 4, size=batch).astype(np.int32)
+        pos_h = rng.integers(0, index.n + 1, size=batch).astype(np.int32)
+        chars = jnp.asarray(chars_h)
+        pos = jnp.asarray(pos_h)
+
+        def swar_nz(w, c32):
+            rep = c32 * jnp.uint32(0x11111111)
+            y = w ^ rep[:, None]
+            t = y & jnp.uint32(0x77777777)
+            return ~((t + jnp.uint32(0x77777777)) | y) & jnp.uint32(0x88888888)
+
+        def mm_reduce(c, p, r=rows, npr=nib_per, rw=row_words):
+            c32 = c.astype(jnp.uint32)
+            p32 = p.astype(jnp.int32)
+            blk = p32 // npr
+            within = p32 - blk * npr
+            row = jnp.take(r, blk, axis=0)
+            base = jnp.take_along_axis(row[:, :4],
+                                       c.astype(jnp.int32)[:, None],
+                                       axis=1)[:, 0]
+            w = row[:, 4:]
+            nz = swar_nz(w, c32)
+            widx = jnp.arange(rw - 4, dtype=jnp.int32)[None, :]
+            wf = (within // 8)[:, None]
+            pmask = ((jnp.uint32(1) << ((within % 8).astype(jnp.uint32) * 4))
+                     - jnp.uint32(1))[:, None]
+            mask = jnp.where(widx < wf, jnp.uint32(0xFFFFFFFF),
+                             jnp.where(widx == wf, pmask, jnp.uint32(0)))
+            pc = jax.lax.population_count(nz & mask).astype(jnp.int8)
+            ones = jnp.ones((rw - 4,), jnp.int8)
+            cnt = jax.lax.dot_general(pc, ones, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            return ((base + cnt.astype(jnp.uint32))
+                    .astype(jnp.int32)).sum(dtype=jnp.int64)
+
+        def take4(p, r=rows, npr=nib_per):
+            blk = p // npr
+            qs = jnp.split(blk, 4)
+            acc = jnp.zeros((), jnp.uint32)
+            for q in qs:
+                acc += jnp.take(r, q, axis=0).sum(dtype=jnp.uint32)
+            return acc
+
+        base_fn = jax.jit(lambda c, p, r=rows:
+                          rk.rank_rows_nib(r, c, p).sum(dtype=jnp.int64))
+        mm_fn = jax.jit(mm_reduce)
+        t4_fn = jax.jit(take4)
+
+        # correctness of mm_reduce vs reference (sum equality is weak; use
+        # element compare on a small slice via direct call)
+        nv = 4096
+        want = np.asarray(rank_batch(index, chars[:nv], pos[:nv]))
+        got = np.asarray(rk.rank_rows_nib(rows, chars[:nv], pos[:nv]))
+        ok = bool(np.array_equal(want, got))
+
+        res = {"exp": "rankc2", "row_bytes": row_bytes, "batch": batch,
+               "equal_nib": ok}
+        t = timed(base_fn, chars, pos)
+        res["swar_gb_per_s"] = batch * row_bytes / t / 1e9
+        try:
+            t = timed(mm_fn, chars, pos)
+            res["mm_gb_per_s"] = batch * row_bytes / t / 1e9
+        except Exception as e:
+            res["mm_error"] = str(e)[:120]
+        try:
+            t = timed(t4_fn, pos)
+            res["take4_gb_per_s"] = batch * row_bytes / t / 1e9
+        except Exception as e:
+            res["take4_error"] = str(e)[:120]
+        print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
+                          for k, v in res.items()}))
+        sys.stdout.flush()
+        del rows
+        rk._rows_nib_cache.clear()
+
+
 if __name__ == "__main__":
     globals()[sys.argv[1]]()
