@@ -1646,5 +1646,85 @@ def rankc2():
         rk._rows_nib_cache.clear()
 
 
+def splitprof2():
+    """top_k vs compaction selection inside the split expansion, plus the
+    end-to-end headline after the compaction swap.
+
+    The split expansion needs "the width>=2 samples" for part B; round 3
+    selected them with lax.top_k(width, resid_k). This measures the raw
+    selection cost both ways at the headline shape (630K samples,
+    resid_k ~ 49K) and the production find_seed_matches rate.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from slamem_tpu.config import Config
+    from slamem_tpu.engine import seed_mode as sm
+    from slamem_tpu.index.build import build_index
+    from slamem_tpu.utils.synth import strain_pair
+
+    ref, qry = strain_pair(5_000_000, seed=20260816, sub_rate=0.015,
+                           indel_rate=0.0015)
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    cfg = Config(min_length=20)
+    qp, qt = sm.query_to_device(qry)
+    m_p = int(qp.shape[0])
+    plan = sm.plan_fused(index, m_p, cfg, qry)
+    k, stride = plan.k, plan.stride
+    refk, _sa = sm.seed_table(index, k)
+    starts, shift, probes = sm.bucket_table(index, k)
+    lo, width, cum, summ = sm.query_frontend_bucket(refk, starts, qt, k,
+                                                    shift, probes, stride)
+    ns = int(lo.shape[0])
+    resid_k = plan.split[0] if plan.split else 49152
+    print(json.dumps({"exp": "splitprof2", "ns": ns, "resid_k": resid_k,
+                      "plan_split": plan.split}))
+    sys.stdout.flush()
+
+    @jax.jit
+    def via_topk(width):
+        wv, wi = jax.lax.top_k(width, resid_k)
+        return wv.sum() + wi.sum()
+
+    @jax.jit
+    def via_compact(width):
+        slot_ids = jnp.arange(width.shape[0], dtype=jnp.int32)
+        wide = width >= 2
+        widx = jnp.cumsum(wide.astype(jnp.int32)) - 1
+        bslot = jnp.where(wide, jnp.minimum(widx, resid_k), resid_k)
+        wi = jnp.zeros((resid_k,), jnp.int32).at[bslot].set(slot_ids,
+                                                            mode="drop")
+        wv = jnp.zeros((resid_k,), jnp.int32).at[bslot].set(width,
+                                                            mode="drop")
+        return wv.sum() + wi.sum()
+
+    def timed(name, fn, *a, repeats=5):
+        np.asarray(fn(*a))
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            np.asarray(fn(*a))
+            ts.append(time.perf_counter() - t0)
+        print(json.dumps({"exp": "splitprof2", "t": name,
+                          "ms": round(min(ts) * 1e3, 3)}))
+        sys.stdout.flush()
+
+    timed("topk_select", via_topk, width)
+    timed("compact_select", via_compact, width)
+
+    # end-to-end with the compaction-based split (production path)
+    sm.find_seed_matches(index, qry, cfg)
+    sm.find_seed_matches(index, qry, cfg)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        m = sm.find_seed_matches(index, qry, cfg)
+        ts.append(time.perf_counter() - t0)
+    print(json.dumps({"exp": "splitprof2", "headline_s": min(ts),
+                      "mbp_per_s": len(qry) / 1e6 / min(ts),
+                      "matches": int(m.length.size), "stats": m.stats}))
+
+
 if __name__ == "__main__":
     globals()[sys.argv[1]]()

@@ -695,8 +695,9 @@ def _expand_pairs_split(sa_aug: jax.Array, lo: jax.Array, width: jax.Array,
     its scatter+cumsum skeleton over the full pair capacity. Split:
 
       * part A — every sample's FIRST pair by direct gather (no scatter);
-      * part B — the top-resid_k widest samples' REMAINDERS (lo+1, w-1)
-        through the ordinary delta-fill into a small resid_cap buffer.
+      * part B — the width>=2 samples' REMAINDERS (lo+1, w-1), selected
+        by compaction (at most resid_k of them), through the ordinary
+        delta-fill into a small resid_cap buffer.
 
     Returns (d_sorted, q_sorted, overflow): bit-identical sorted pairs to
     _expand_pairs_core (measured equal at the headline) unless overflow —
@@ -715,7 +716,20 @@ def _expand_pairs_split(sa_aug: jax.Array, lo: jax.Array, width: jax.Array,
     d_a = jnp.where(ok_a, ref_a - qpos_a + m_off, _I32MAX)
     q_a = jnp.where(ok_a, slot, _I32MAX)
 
-    wv, wi = jax.lax.top_k(width, resid_k)
+    # select the width>=2 samples by COMPACTION (cumsum + drop-scatter)
+    # instead of lax.top_k: same remainder pair set — every width>=2
+    # sample lands in part B or trips overflow either way, and unselected
+    # default slots carry w_b = 0 so they cancel in the delta fill — but
+    # a cumsum+scatter is measured cheaper than a top_k over the sample
+    # array (splitprof2), and the overflow test sharpens to "MORE than
+    # resid_k wide samples" (top_k's wv[resid_k-1] >= 2 also fired when
+    # the count was exactly resid_k).
+    wide = width >= 2
+    n_wide = jnp.sum(wide, dtype=jnp.int32)
+    widx = jnp.cumsum(wide.astype(jnp.int32)) - 1
+    bslot = jnp.where(wide, jnp.minimum(widx, resid_k), resid_k)
+    wi = jnp.zeros((resid_k,), jnp.int32).at[bslot].set(slot, mode="drop")
+    wv = jnp.zeros((resid_k,), jnp.int32).at[bslot].set(width, mode="drop")
     lo_b = lo[wi] + jnp.int32(1)
     w_b = jnp.maximum(wv - 1, 0)
     seg_c, sa_idx_raw, in_range = _expand_seg(lo_b, w_b, resid_cap)
@@ -731,7 +745,7 @@ def _expand_pairs_split(sa_aug: jax.Array, lo: jax.Array, width: jax.Array,
                              jnp.concatenate([q_a, q_b])),
                             dimension=0, num_keys=2)
     resid_total = jnp.sum(jnp.maximum(width - 1, 0).astype(jnp.int64))
-    overflow = (wv[resid_k - 1] >= 2) | (resid_total > resid_cap)
+    overflow = (n_wide > resid_k) | (resid_total > resid_cap)
     return d_s, q_s, overflow
 
 
