@@ -353,11 +353,8 @@ def run_stage_bench(size: int = SIZE, minlen: int = MINLEN,
     refk, sa_aug = sm.seed_table(index, k)
     ext_r = sm.ext_table(index) if stride != 1 else None
     probes = 12
-    tsa = None
     if use_bucket:
         starts, shift, probes = sm.bucket_table(index, k)
-        if probes == 0 and split is not None and cfg.match_backend == "sort":
-            tsa = sm.bucket_table_sa(index, k)  # production fast path
     minl = int(cfg.min_length)
 
     # stage 0: bare dispatch+fetch round trip (1 scalar through the tunnel)
@@ -374,12 +371,7 @@ def run_stage_bench(size: int = SIZE, minlen: int = MINLEN,
 
     # stage 2: frontend only (join or bucket search), grounded on the
     # 2-int64 summary fetch
-    if tsa is not None:
-        def frontend():
-            lo, w, cum, summ = sm.query_frontend_bucket_sa(tsa, qt, k,
-                                                           stride)
-            np.asarray(summ)
-    elif use_bucket:
+    if use_bucket:
         def frontend():
             lo, w, cum, summ = sm.query_frontend_bucket(
                 refk, starts, qt, k, shift, probes, stride)
@@ -396,12 +388,7 @@ def run_stage_bench(size: int = SIZE, minlen: int = MINLEN,
     state = {}
 
     def fused():
-        if tsa is not None:
-            out = sm.fused_query_bucket_sa(
-                index.text, tsa, sa_aug, qt, k, capacity, run_cap,
-                stride, ext_r, kept_capacity=kept_cap, minlen=minl,
-                split=split)
-        elif use_bucket:
+        if use_bucket:
             out = sm.fused_query_bucket(
                 index.text, refk, starts, sa_aug, qt, k, capacity, run_cap,
                 shift, probes, cfg.match_backend, stride, ext_r,

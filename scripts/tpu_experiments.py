@@ -1726,5 +1726,77 @@ def splitprof2():
                       "matches": int(m.length.size), "stats": m.stats}))
 
 
+def saprobe():
+    """Lowering A/B for the fused (starts, sa0) gather.
+
+    bench showed the vmapped 2D (2,2) dynamic_slice at 630K samples costs
+    ~1 s on chip, and saprobe v1 found why: a (nb+1, 2) int32 array takes
+    tile layout T(8,128) — the 2-wide minor dim pads to 128 lanes, 64x
+    the memory (34 GB for the K=13 table; XLA AOT refuses to even
+    allocate it). Narrow-minor-dim 2D tables are unusable on TPU. Times
+    the 1D formulations instead: (a) production paired int32 (2,) slice
+    on starts + separate sa0 gather (2 random accesses), (b) ONE paired
+    (2,) slice on an int64-PACKED table t64[i] = sa0[i]<<32 | starts[i]
+    (1 random access, 16 B).
+    """
+    import slamem_tpu  # noqa: F401  (enables x64 — uint64 packing needs it)
+    import jax
+    import jax.numpy as jnp
+
+    nb = 1 << 26
+    m = 630784
+    rng = np.random.default_rng(20260822)
+    starts = jnp.asarray(np.sort(rng.integers(0, 5_000_000, nb + 1))
+                         .astype(np.int32))
+    sa0 = jnp.asarray(rng.integers(0, 5_000_000, nb + 1).astype(np.int32))
+
+    @jax.jit
+    def pack64(starts, sa0):
+        lo32 = starts.astype(jnp.uint32).astype(jnp.uint64)
+        hi32 = sa0.astype(jnp.uint32).astype(jnp.uint64)
+        return jax.lax.bitcast_convert_type(lo32 | (hi32 << 32), jnp.int64)
+
+    t64 = pack64(starts, sa0)
+    jax.block_until_ready(t64)
+    b = jnp.asarray(rng.integers(0, nb, m).astype(np.int32))
+
+    # tables as ARGUMENTS, not closures: a closed-over device array embeds
+    # as an HLO constant and the 256 MB table blows the remote-compile
+    # request limit (HTTP 413, saprobe v2)
+    @jax.jit
+    def paired_i32_plus_sa(starts, sa0, b):
+        pair = jax.vmap(
+            lambda i: jax.lax.dynamic_slice(starts, (i,), (2,)))(b)
+        sa = sa0[jnp.clip(pair[:, 0], 0, nb)]
+        return pair.sum(dtype=jnp.int64) + sa.sum(dtype=jnp.int64)
+
+    @jax.jit
+    def packed64(t64, b):
+        pair = jax.vmap(
+            lambda i: jax.lax.dynamic_slice(t64, (i,), (2,)))(b)
+        u = jax.lax.bitcast_convert_type(pair, jnp.uint64)
+        lo = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
+        sa = (u >> 32).astype(jnp.int32)
+        return lo.sum(dtype=jnp.int64) + sa[:, 0].sum(dtype=jnp.int64)
+
+    for name, fn in (("paired_i32_plus_sa0_gather",
+                      lambda b: paired_i32_plus_sa(starts, sa0, b)),
+                     ("packed64_single_slice",
+                      lambda b: packed64(t64, b))):
+        try:
+            np.asarray(fn(b))
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(fn(b))
+                ts.append(time.perf_counter() - t0)
+            print(json.dumps({"exp": "saprobe", "t": name,
+                              "ms": round(min(ts) * 1e3, 3)}))
+        except Exception as e:
+            print(json.dumps({"exp": "saprobe", "t": name,
+                              "error": str(e)[:150]}))
+        sys.stdout.flush()
+
+
 if __name__ == "__main__":
     globals()[sys.argv[1]]()

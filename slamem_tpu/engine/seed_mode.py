@@ -390,49 +390,17 @@ def bucket_table(index: FMIndex, k: int):
     return _bucket_cache.put(key, index.sa, (starts, shift, probes))
 
 
-_bucket_sa_cache = DevCache("bucket_table_sa")
-
-
-def bucket_table_sa(index: FMIndex, k: int):
-    """Direct-table variant interleaving sa_aug[starts[b]] with starts[b].
-
-    Row b of the (nb+1, 2) int32 table is (starts[b], sa_aug[starts[b]]).
-    On the zero-probe direct path a sample's interval AND its first pair's
-    sign-augmented ref position arrive in ONE 16-byte gather (rows b and
-    b+1), where the split expansion's part A previously paid a second
-    independent random gather into sa_aug per sample — and ~17 ns of
-    gather latency per random access is the measured device floor
-    (DESIGN.md §8d), so halving the gather count is the lever.
-    Only valid with shift == 0 / probes == 0 (bucket_table's direct mode).
-    """
-    key = (id(index.sa), k)
-    hit = _bucket_sa_cache.get(key, index.sa)
-    if hit is not None:
-        return hit
-    starts, shift, probes = bucket_table(index, k)
-    assert shift == 0 and probes == 0, "fused table is direct-mode only"
-    _, sa_aug = seed_table(index, k)
-    sa0 = sa_aug[jnp.clip(starts, 0, sa_aug.shape[0] - 1)]
-    tsa = jnp.stack([starts, sa0], axis=1)
-    return _bucket_sa_cache.put(key, index.sa, tsa)
-
-
-def _bucket_intervals_sa(tsa: jax.Array, qk, qvalid: jax.Array):
-    """Zero-probe direct lookup on the interleaved (starts, sa0) table.
-
-    Returns (lo, width, sa_first): sa_first is sa_aug[lo] for width >= 1
-    samples — part A of the split expansion consumes it directly and
-    performs no sa_aug gather of its own.
-    """
-    qk_w = qk if isinstance(qk, tuple) else (qk,)
-    b = qk_w[0].astype(jnp.int32)
-    quad = jax.vmap(
-        lambda i: jax.lax.dynamic_slice(tsa, (i, jnp.int32(0)), (2, 2)))(b)
-    lo = quad[:, 0, 0]
-    hi = quad[:, 1, 0]
-    sa_first = quad[:, 0, 1]
-    width = jnp.where(qvalid, hi - lo, 0).astype(jnp.int32)
-    return lo.astype(jnp.int32), width, sa_first
+# NOTE (round 4, measured dead end — do not re-attempt without new data):
+# fusing sa_aug[starts[b]] into the direct bucket table so one access
+# returns interval + first-pair ref position LOSES on v5e both ways:
+# (a) a (nb+1, 2) int32 table takes tile layout T(8,128) — the 2-wide
+#     minor dim pads to 128 lanes, 64x memory (34 GB at K=13; XLA refuses
+#     the allocation, and jnp-built copies relayout at ~1 s/dispatch);
+# (b) a 1D int64-packed table (sa0 << 32 | starts) keeps the layout sane
+#     but the paired int64 slice costs 36 ms device vs 24 ms for the TWO
+#     separate int32 accesses it replaces (scripts/tpu_experiments.py
+#     saprobe) — the 64-bit gather penalty exceeds the access it saves.
+# The engine therefore keeps the separate starts/sa_aug tables.
 
 
 def _bucket_intervals(refk, starts: jax.Array, qk,
@@ -731,7 +699,7 @@ def _expand_pairs_core(sa_aug: jax.Array, lo: jax.Array,
 
 def _expand_pairs_split(sa_aug: jax.Array, lo: jax.Array, width: jax.Array,
                         m_off: jax.Array, resid_k: int, resid_cap: int,
-                        stride: int = 1, sa_first: jax.Array | None = None
+                        stride: int = 1
                         ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Split ragged expansion for thin width distributions.
 
@@ -754,10 +722,7 @@ def _expand_pairs_split(sa_aug: jax.Array, lo: jax.Array, width: jax.Array,
     ns = lo.shape[0]
     nmax = sa_aug.shape[0] - 1
     slot = jnp.arange(ns, dtype=jnp.int32)
-    # sa_first (from the interleaved direct table, _bucket_intervals_sa)
-    # IS sa_aug[lo] delivered by the frontend's own gather — part A then
-    # performs no random gather at all
-    sa0 = sa_aug[jnp.clip(lo, 0, nmax)] if sa_first is None else sa_first
+    sa0 = sa_aug[jnp.clip(lo, 0, nmax)]
     ok_a = (width >= 1) & (sa0 >= 0)
     ref_a = sa0 & jnp.int32(0x7FFFFFFF)
     qpos_a = slot * jnp.int32(stride) if stride != 1 else slot
@@ -820,17 +785,6 @@ def query_frontend_bucket(refk, starts, qt: jax.Array, k: int, shift: int,
     """query_frontend with the bucket search instead of the sort join."""
     qk_w, qvalid = sampled_query_keys(qt, k, stride)
     lo, width = _bucket_intervals(refk, starts, qk_w, qvalid, shift, probes)
-    cum = jnp.cumsum(width.astype(jnp.int64))
-    summary = jnp.stack([cum[-1], jnp.max(width).astype(jnp.int64)])
-    return lo, width, cum, summary
-
-
-@functools.partial(jax.jit, static_argnames=("k", "stride"))
-def query_frontend_bucket_sa(tsa, qt: jax.Array, k: int, stride: int = 1):
-    """query_frontend on the interleaved direct table (stage-bench probe
-    of the production fused_query_bucket_sa frontend)."""
-    qk_w, qvalid = sampled_query_keys(qt, k, stride)
-    lo, width, _sa0 = _bucket_intervals_sa(tsa, qk_w, qvalid)
     cum = jnp.cumsum(width.astype(jnp.int64))
     summary = jnp.stack([cum[-1], jnp.max(width).astype(jnp.int64)])
     return lo, width, cum, summary
@@ -1104,7 +1058,7 @@ def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
                 run_capacity: int, backend: str, stride: int = 1,
                 ext_r=None, kept_capacity: int | None = None,
                 minlen: int = 0,
-                split: tuple[int, int] | None = None, sa_first=None):
+                split: tuple[int, int] | None = None):
     """Shared fused-query tail: expansion + run extraction, ONE int32 wire.
 
     backend "sort": kept-run triples (3 x kept_capacity) +
@@ -1149,8 +1103,7 @@ def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
         if split is not None:
             resid_k, resid_cap = split
             d_s, q_s, split_ovf = _expand_pairs_split(
-                sa_aug, lo, width, m_off, resid_k, resid_cap, stride,
-                sa_first)
+                sa_aug, lo, width, m_off, resid_k, resid_cap, stride)
         else:
             d_s, q_s = _expand_pairs_core(sa_aug, lo, width, jnp.int32(0),
                                           m_off, capacity, stride)
@@ -1232,30 +1185,6 @@ def fused_query_bucket(text, refk, starts, sa_aug, qt, k: int,
     return _fused_tail(text, qt, lo, width, sa_aug, qt.shape[0], k,
                        capacity, run_capacity, backend, stride, ext_r,
                        kept_capacity, minlen, split)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("k", "capacity", "run_capacity",
-                                    "stride", "kept_capacity", "minlen",
-                                    "split"))
-def fused_query_bucket_sa(text, tsa, sa_aug, qt, k: int,
-                          capacity: int, run_capacity: int, stride: int = 1,
-                          ext_r=None, kept_capacity: int | None = None,
-                          minlen: int = 0,
-                          split: tuple[int, int] | None = None):
-    """fused_query_bucket on the interleaved direct (starts, sa0) table.
-
-    The production headline/chr21 shape (zero-probe direct table + split
-    expansion + sort backend): each sample's ONE 16 B gather returns its
-    interval AND part A's sign-augmented ref position, halving the random
-    gathers per sample vs the separate starts/sa_aug tables
-    (bucket_table_sa). Only called when probes == 0 and split is active.
-    """
-    qk_w, qvalid = sampled_query_keys(qt, k, stride)
-    lo, width, sa_first = _bucket_intervals_sa(tsa, qk_w, qvalid)
-    return _fused_tail(text, qt, lo, width, sa_aug, qt.shape[0], k,
-                       capacity, run_capacity, "sort", stride, ext_r,
-                       kept_capacity, minlen, split, sa_first)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "block", "stride"))
@@ -1674,20 +1603,10 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
         if use_bucket:
             starts, shift, probes = bucket_table(index, k)
             probes_used = probes
-            if probes == 0 and split is not None and backend == "sort":
-                # direct-mode fast path: interval + part A's ref position
-                # from ONE interleaved 16 B gather (bucket_table_sa)
-                tsa = bucket_table_sa(index, k)
-                lo, width, cum, summary, packed = fused_query_bucket_sa(
-                    index.text, tsa, sa_aug, qt, k, capacity, run_cap,
-                    stride, ext_r, kept_capacity=kept_cap, minlen=minlen,
-                    split=split)
-            else:
-                lo, width, cum, summary, packed = fused_query_bucket(
-                    index.text, refk, starts, sa_aug, qt, k,
-                    capacity, run_cap, shift, probes, backend, stride,
-                    ext_r, kept_capacity=kept_cap, minlen=minlen,
-                    split=split)
+            lo, width, cum, summary, packed = fused_query_bucket(
+                index.text, refk, starts, sa_aug, qt, k,
+                capacity, run_cap, shift, probes, backend, stride, ext_r,
+                kept_capacity=kept_cap, minlen=minlen, split=split)
         else:
             lo, width, cum, summary, packed = fused_query(
                 index.text, refk, sa_aug, qt, k, capacity,

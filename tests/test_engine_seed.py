@@ -557,9 +557,8 @@ def test_split_expansion_equivalence_and_overflow(monkeypatch):
     # force an overflow inside the split path: every call reports discard
     real = seed_mode._expand_pairs_split
 
-    def always_overflow(sa_aug, lo, width, m_off, rk, rc, stride=1,
-                        sa_first=None):
-        d, q, _ = real(sa_aug, lo, width, m_off, rk, rc, stride, sa_first)
+    def always_overflow(sa_aug, lo, width, m_off, rk, rc, stride=1):
+        d, q, _ = real(sa_aug, lo, width, m_off, rk, rc, stride)
         import jax.numpy as jnp
         return d, q, jnp.bool_(True)
 
@@ -567,7 +566,6 @@ def test_split_expansion_equivalence_and_overflow(monkeypatch):
     monkeypatch.setattr(seed_mode, "_expand_pairs_split", always_overflow)
     seed_mode.fused_query.clear_cache()  # retrace picks up the patch
     seed_mode.fused_query_bucket.clear_cache()
-    seed_mode.fused_query_bucket_sa.clear_cache()
     fused_query_cache_buster = Config(min_length=16, pair_capacity_max=1 << 21)
     m1 = find_seed_matches(index, np.asarray(qry, np.uint8),
                            fused_query_cache_buster)
@@ -576,7 +574,6 @@ def test_split_expansion_equivalence_and_overflow(monkeypatch):
     monkeypatch.undo()
     seed_mode.fused_query.clear_cache()   # drop traces of the patched fn
     seed_mode.fused_query_bucket.clear_cache()
-    seed_mode.fused_query_bucket_sa.clear_cache()
     got2 = sorted(zip(m2.refpos.tolist(), m2.qpos.tolist(),
                       m2.length.tolist()))
     assert got2 == want
@@ -587,39 +584,3 @@ def test_split_expansion_equivalence_and_overflow(monkeypatch):
                       m3.length.tolist()))
     assert got3 == want and not (m3.stats or {}).get("split")
 
-
-def test_bucket_sa_fused_table_equivalence():
-    """The interleaved direct (starts, sa0) table returns the same
-    intervals as the separate tables, plus sa_aug[lo] for free; the
-    production routing through fused_query_bucket_sa stays oracle-exact
-    once split activates (repeat calls)."""
-    import jax.numpy as jnp
-
-    from slamem_tpu.engine import seed_mode as sm
-
-    ref = random_genome(30_000, seed=701)
-    qry = mutate(ref, 0.015, 0.001, seed=702)
-    cfg = Config(min_length=18, seed_length_cap=11, frontend="bucket")
-    index = build_index(np.asarray(ref, np.uint8))
-    k, stride, _ = sm.choose_seed_plan(index.n, len(qry), cfg)
-    starts, shift, probes = sm.bucket_table(index, k)
-    assert probes == 0 and shift == 0, "test needs the direct-table mode"
-    refk, sa_aug = sm.seed_table(index, k)
-    tsa = sm.bucket_table_sa(index, k)
-    qp, qt = sm.query_to_device(np.asarray(qry, np.uint8))
-    qk_w, qvalid = sm.sampled_query_keys(qt, k, stride)
-    lo1, w1 = sm._bucket_intervals(refk, starts, qk_w, qvalid, shift,
-                                   probes)
-    lo2, w2, sa0 = sm._bucket_intervals_sa(tsa, qk_w, qvalid)
-    assert np.array_equal(np.asarray(lo1), np.asarray(lo2))
-    assert np.array_equal(np.asarray(w1), np.asarray(w2))
-    wide = np.asarray(w2) >= 1
-    want_sa = np.asarray(sa_aug)[np.asarray(lo2)[wide]]
-    assert np.array_equal(np.asarray(sa0)[wide], want_sa)
-
-    want = oracle_tuples(ref, qry, cfg)
-    for i in range(3):  # call 2+ activates split -> the _sa fused path
-        m = find_seed_matches(index, np.asarray(qry, np.uint8), cfg)
-        assert sorted(zip(m.refpos.tolist(), m.qpos.tolist(),
-                          m.length.tolist())) == want, i
-    assert m.stats and m.stats.get("split") is True
