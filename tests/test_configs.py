@@ -87,3 +87,32 @@ def test_config5_sharded_equals_replicated_pipeline():
     out_s = run_engine(ref_set, q_set, Config(min_length=16,
                                               shard_index=True), mesh=mesh)
     assert format_matches(out_r) == format_matches(out_s)
+
+
+def test_joined_request_cache_repeats_and_strand_change():
+    """run_engine memoizes the joined multi-entry request text on the
+    query set (config #2 repeats skip the re-upload); repeats return
+    identical output and a strand-flag change invalidates the cache."""
+    ref = random_genome(30_000, seed=901)
+    strains = [mutate(ref, 0.01, 0.001, seed=910 + j) for j in range(3)]
+    ref_set = make_set([ref], ["ref"])
+    qry_set = make_set(strains, [f"s{j}" for j in range(3)])
+
+    def tuples(out):
+        return [(qm.query_name, qm.reverse,
+                 qm.ref_pos.tolist(), qm.q_pos.tolist(),
+                 qm.length.tolist()) for qm in out.per_query]
+
+    cfg = Config(min_length=20)
+    out1 = run_engine(ref_set, qry_set, cfg)
+    assert getattr(qry_set, "_joined_cache", None) is not None
+    cached_text = qry_set._joined_cache[1]
+    out2 = run_engine(ref_set, qry_set, cfg)
+    assert qry_set._joined_cache[1] is cached_text   # reused, not rebuilt
+    assert tuples(out1) == tuples(out2)
+    check_vs_oracle(out2, ref_set, qry_set, cfg)
+
+    cfg_b = Config(min_length=20, both_strands=True)
+    out3 = run_engine(ref_set, qry_set, cfg_b)
+    assert qry_set._joined_cache[0] == (False, True)  # rebuilt for -b
+    check_vs_oracle(out3, ref_set, qry_set, cfg_b)
