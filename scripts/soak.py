@@ -96,6 +96,15 @@ def main() -> int:
         print(f"trial {t}: size={size} L={minlen} mode={mode} "
               f"matches={len(want)} ok ({time.time() - t00:.0f}s)",
               flush=True)
+        if (t + 1) % 5 == 0:
+            # every trial compiles fresh random shapes; without draining
+            # the jit executable cache + the device-table caches the
+            # process accumulates ~4.5 GB/trial of host RAM and dies with
+            # LLVM 'Cannot allocate memory' around trial 27 (r4 repro)
+            from slamem_tpu.utils.devcache import clear_device_caches
+
+            clear_device_caches()
+            jax.clear_caches()
     print("SOAK OK", trials, "trials")
     return 0
 

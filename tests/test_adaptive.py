@@ -150,3 +150,17 @@ class TestAdaptiveDisk:
                             np.asarray(want.qpos).tolist(),
                             np.asarray(want.length).tolist()))
         assert t_got == t_want
+
+
+def test_digest_survives_index_save_load(tmp_path):
+    """save/load round-trips register the same content digest, so a
+    process that -loads a checkpointed index hits the same adaptive-disk
+    records the building process wrote."""
+    from slamem_tpu.index.serialize import load_index, save_index
+
+    ref, _ = strain_pair(20_000, seed=11, sub_rate=0.01, indel_rate=0.001)
+    built = build_index(ref)
+    path = str(tmp_path / "idx.npz")
+    save_index(path, built)
+    loaded = load_index(path)
+    assert index_digest(loaded) == index_digest(built)
