@@ -183,11 +183,12 @@ _last_total_cache: dict[tuple[int, int], tuple] = {}
 # the planner stops splitting them (the plain delta-fill path is always
 # correct; split is a measured ~8 ms/call optimization for thin widths)
 _split_blocklist: set[tuple[int, int, int]] = set()
-# (id(index.sa), k, stride) -> adaptive-disk record key, registered by
-# seed_last_from_disk; _set_last_total writes observations through to disk
-# under it so a COLD process dispatches the snapped shape family first
-# (VERDICT r3 #1: three shape families made the official bench time out)
-_disk_key_of: dict[tuple[int, int, int], str] = {}
+# (id(index.sa), k, stride) -> (weakref(sa), adaptive-disk record key),
+# registered by seed_last_from_disk; _set_last_total writes observations
+# through to disk under it so a COLD process dispatches the snapped shape
+# family first (VERDICT r3 #1: three shape families made the official
+# bench time out). The weakref guards id() reuse like the sibling caches.
+_disk_key_of: dict[tuple[int, int, int], tuple] = {}
 
 
 def _last_total(index: FMIndex, k: int, stride: int = 1
@@ -227,9 +228,9 @@ def _set_last_total(index: FMIndex, k: int, total: int,
         _last_total_cache.clear()
     _last_total_cache[(id(index.sa), k, stride)] = (
         weakref.ref(index.sa), total, runs, kept, nonzero)
-    dk = _disk_key_of.get((id(index.sa), k, stride))
-    if dk is not None:
-        adaptive.put(dk, {
+    hit = _disk_key_of.get((id(index.sa), k, stride))
+    if hit is not None and hit[0]() is index.sa:
+        adaptive.put(hit[1], {
             "pairs": total, "runs": runs, "kept": kept, "nonzero": nonzero,
             "split_blocked": (id(index.sa), k, stride) in _split_blocklist})
 
@@ -250,7 +251,7 @@ def seed_last_from_disk(index: FMIndex, k: int, stride: int, m_p: int,
                              adaptive.query_fingerprint(query_text))
     if len(_disk_key_of) > 64:
         _disk_key_of.clear()
-    _disk_key_of[memkey] = dk
+    _disk_key_of[memkey] = (weakref.ref(index.sa), dk)
     hit = _last_total_cache.get(memkey)
     if hit is not None and hit[0]() is index.sa:
         return    # in-memory observation wins (query-insensitive, as before)
