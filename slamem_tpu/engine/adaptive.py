@@ -75,8 +75,12 @@ def text_digest(text) -> str:
     return hashlib.blake2b(b.tobytes(), digest_size=12).hexdigest()
 
 
-def record_key(digest: str, k: int, stride: int, m_p: int, qfp: str) -> str:
-    return f"{digest}|k{k}|s{stride}|m{m_p}|q{qfp}"
+def record_key(digest: str, k: int, stride: int, m_p: int, qfp: str,
+               minlen: int = 0) -> str:
+    # minlen is in the key because the kept-wire count the record predicts
+    # is POST-min-length-filter: distinct -l values can share (k, stride)
+    # (e.g. L=30 and L=35 both plan K=14/S=14) but keep different counts
+    return f"{digest}|k{k}|s{stride}|m{m_p}|q{qfp}|l{minlen}"
 
 
 def get(key: str) -> dict | None:

@@ -236,7 +236,7 @@ def _set_last_total(index: FMIndex, k: int, total: int,
 
 
 def seed_last_from_disk(index: FMIndex, k: int, stride: int, m_p: int,
-                        query_text: np.ndarray) -> None:
+                        query_text: np.ndarray, minlen: int = 0) -> None:
     """Seed the in-memory adaptive state from the persistent store.
 
     Registers the disk key for write-through either way; fills
@@ -248,7 +248,7 @@ def seed_last_from_disk(index: FMIndex, k: int, stride: int, m_p: int,
 
     memkey = (id(index.sa), k, stride)
     dk = adaptive.record_key(index_digest(index), k, stride, m_p,
-                             adaptive.query_fingerprint(query_text))
+                             adaptive.query_fingerprint(query_text), minlen)
     if len(_disk_key_of) > 64:
         _disk_key_of.clear()
     _disk_key_of[memkey] = (weakref.ref(index.sa), dk)
@@ -1514,7 +1514,8 @@ def plan_fused(index: FMIndex, m_p: int, cfg: Config,
     k, stride, _sparse = choose_seed_plan(index.n, m_p, cfg)
     cap_cfg = int(cfg.pair_capacity)
     if query_text is not None and cap_cfg >= _GROWTH_MIN_CAPACITY:
-        seed_last_from_disk(index, k, stride, m_p, query_text)
+        seed_last_from_disk(index, k, stride, m_p, query_text,
+                            int(cfg.min_length))
     capacity = cap_cfg
     run_cap = max(4096, capacity // 16)
     last_pairs, last_runs, last_kept = _last_total(index, k, stride)

@@ -121,7 +121,8 @@ class TestAdaptiveDisk:
         m_p = int(seed_mode.pad_query(qry).shape[0])
         k, stride, _ = seed_mode.choose_seed_plan(index.n, m_p, cfg)
         dk = adaptive.record_key(index_digest(index), k, stride, m_p,
-                                 adaptive.query_fingerprint(qry))
+                                 adaptive.query_fingerprint(qry),
+                                 int(cfg.min_length))
         rec = adaptive.get(dk)
         assert rec is not None and rec["pairs"] > 0
 
@@ -134,7 +135,8 @@ class TestAdaptiveDisk:
         m_p = int(seed_mode.pad_query(qry).shape[0])
         k, stride, _ = seed_mode.choose_seed_plan(index.n, m_p, cfg)
         dk = adaptive.record_key(index_digest(index), k, stride, m_p,
-                                 adaptive.query_fingerprint(qry))
+                                 adaptive.query_fingerprint(qry),
+                                 int(cfg.min_length))
         # absurdly small prediction: every buffer under-sized
         adaptive.put(dk, {"pairs": 8, "runs": 4, "kept": 2, "nonzero": 6,
                           "split_blocked": False})
