@@ -10,6 +10,11 @@ lines. Usage: python scripts/tpu_experiments.py <name>
   scan          scan engine compiled on TPU (small, then 1 Mbp)
   chr1          chr1-scale sharded rehearsal (250 Mbp ref, 50 Mbp query)
   chr1rep       replicated chr1: 4 consecutive calls (compile-shape anomaly)
+  capab/hlprof/profscale/packprof/tailprof/splitprof  stage cost batteries
+  seedk_headline / chr21k / chr21k13   seed-depth policy sweeps
+  rankx / rankc / rankc2   rank-kernel redesign + honest-HBM concurrency
+  splitprof2    top_k vs compaction split selection (+ headline check)
+  saprobe       fused (starts, sa0) gather lowering A/B (negative result)
 """
 
 from __future__ import annotations
