@@ -352,6 +352,7 @@ def run_stage_bench(size: int = SIZE, minlen: int = MINLEN,
     split, use_bucket = plan.split, plan.use_bucket
     refk, sa_aug = sm.seed_table(index, k)
     ext_r = sm.ext_table(index) if stride != 1 else None
+    ext_q = sm.query_ext_table(qt) if stride != 1 else None
     probes = 12
     if use_bucket:
         starts, shift, probes = sm.bucket_table(index, k)
@@ -392,12 +393,14 @@ def run_stage_bench(size: int = SIZE, minlen: int = MINLEN,
             out = sm.fused_query_bucket(
                 index.text, refk, starts, sa_aug, qt, k, capacity, run_cap,
                 shift, probes, cfg.match_backend, stride, ext_r,
-                kept_capacity=kept_cap, minlen=minl, split=split)
+                kept_capacity=kept_cap, minlen=minl, split=split,
+                ext_q=ext_q)
         else:
             out = sm.fused_query(
                 index.text, refk, sa_aug, qt, k, capacity, run_cap,
                 cfg.match_backend, stride, ext_r,
-                kept_capacity=kept_cap, minlen=minl, split=split)
+                kept_capacity=kept_cap, minlen=minl, split=split,
+                ext_q=ext_q)
         state["packed"] = out[4]
         np.asarray(out[3])
     fused()

@@ -549,6 +549,7 @@ def ext_arrays(text: jax.Array):
 
 
 _ext_cache = DevCache("ext_table")
+_query_ext_cache = DevCache("query_ext")
 
 
 def ext_table(index: FMIndex):
@@ -558,6 +559,23 @@ def ext_table(index: FMIndex):
     if hit is not None:
         return hit
     return _ext_cache.put(key, index.sa, ext_arrays(index.text))
+
+
+def query_ext_table(qt: jax.Array):
+    """ext_arrays(qt), cached per query device array.
+
+    The query-side extension tables were recomputed INSIDE every fused
+    dispatch (and every _finalize_strided call): two O(m) cummin/cummax
+    scans plus the 16-digit packing — XLA scans are the slow primitive on
+    v5e (a 5 Mbp cummin alone measured 28.5 ms, r3 packprof), so at
+    chr-scale a triple-digit-ms recomputation rode along with every
+    query. One compute per query object, same identity-guard contract as
+    query_to_device."""
+    key = id(qt)
+    hit = _query_ext_cache.get(key, qt)
+    if hit is not None:
+        return hit
+    return _query_ext_cache.put(key, qt, ext_arrays(qt))
 
 
 def _ctz_digits(x: jax.Array) -> jax.Array:
@@ -1059,7 +1077,7 @@ def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
                 run_capacity: int, backend: str, stride: int = 1,
                 ext_r=None, kept_capacity: int | None = None,
                 minlen: int = 0,
-                split: tuple[int, int] | None = None):
+                split: tuple[int, int] | None = None, ext_q=None):
     """Shared fused-query tail: expansion + run extraction, ONE int32 wire.
 
     backend "sort": kept-run triples (3 x kept_capacity) +
@@ -1116,26 +1134,58 @@ def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
             # run count fails the host's n_runs <= run_capacity check, so
             # it falls through to the multi-round recompute from lo/width
             n_runs = jnp.where(split_ovf, _I32MAX, n_runs)
-        if stride != 1:
-            ext_q = ext_arrays(qt)
-            run_qs, run_qe = _extend_core(
-                run_d - m_off, run_qs, run_qe, n_runs, ext_r, ext_q,
-                stride, k)
-            # re-encode with the wire's m_off convention: qstart rides the
-            # diag column's slot, so only the q columns changed
         kcap = run_capacity if kept_capacity is None else kept_capacity
         slot = jnp.arange(run_capacity, dtype=jnp.int32)
-        length = run_qe - run_qs + jnp.int32(k)  # dense-run convention
-        keep = (slot < n_runs) & (length >= jnp.int32(minlen))
-        kidx = jnp.cumsum(keep.astype(jnp.int32)) - 1
-        n_kept = kidx[-1] + 1  # == sum(keep); run_capacity >= 1 always
-        tgt = jnp.where(keep, kidx, jnp.int32(kcap))
-        kd = jnp.full((kcap,), -1, jnp.int32).at[tgt].set(
-            run_d, mode="drop")
-        kqs = jnp.full((kcap,), -1, jnp.int32).at[tgt].set(
-            run_qs, mode="drop")
-        kqe = jnp.full((kcap,), -1, jnp.int32).at[tgt].set(
-            run_qe, mode="drop")
+        # Pre-extension span bound: a run of w aligned windows covers at
+        # most k + (w-1)*stride + 2*(stride-1) characters — the endpoint
+        # extension moves each boundary < stride chars (choose_stride's
+        # bounded-extension argument) — so runs of fewer than w_min
+        # windows can NEVER reach minlen. All quantities static.
+        span_need = minlen - k - 2 * (stride - 1)
+        w_min = (-(-span_need // stride) + 1) if span_need > 0 else 1
+        if stride != 1 and w_min >= 2:
+            # chr-scale shape (deep minlen): the n*m_s/4^K noise
+            # collisions are single-window runs and dominate the raw run
+            # buffer (~3.3M of ~3.7M at the chr1 config) — filter +
+            # compact FIRST, then run the 4-gather extension on the small
+            # kept buffer only. Entries extension leaves under minlen are
+            # dropped by the host's final length filter (_fused_result /
+            # runs decode), as always.
+            keep = (slot < n_runs) & (run_qe - run_qs + 1
+                                      >= jnp.int32(w_min))
+            kidx = jnp.cumsum(keep.astype(jnp.int32)) - 1
+            n_kept = kidx[-1] + 1
+            tgt = jnp.where(keep, kidx, jnp.int32(kcap))
+            kd = jnp.full((kcap,), -1, jnp.int32).at[tgt].set(
+                run_d, mode="drop")
+            kqs0 = jnp.full((kcap,), -1, jnp.int32).at[tgt].set(
+                run_qs, mode="drop")
+            kqe0 = jnp.full((kcap,), -1, jnp.int32).at[tgt].set(
+                run_qe, mode="drop")
+            if ext_q is None:  # direct callers; the engine passes the
+                ext_q = ext_arrays(qt)  # per-query cached tables instead
+            kqs, kqe = _extend_core(
+                kd - m_off, kqs0, kqe0, n_kept, ext_r, ext_q, stride, k)
+        else:
+            if stride != 1:
+                # shallow minlen (w_min == 1): every run is span-eligible,
+                # so extend in place and filter by the exact final length
+                if ext_q is None:
+                    ext_q = ext_arrays(qt)
+                run_qs, run_qe = _extend_core(
+                    run_d - m_off, run_qs, run_qe, n_runs, ext_r, ext_q,
+                    stride, k)
+            length = run_qe - run_qs + jnp.int32(k)
+            keep = (slot < n_runs) & (length >= jnp.int32(minlen))
+            kidx = jnp.cumsum(keep.astype(jnp.int32)) - 1
+            n_kept = kidx[-1] + 1  # == sum(keep); run_capacity >= 1 always
+            tgt = jnp.where(keep, kidx, jnp.int32(kcap))
+            kd = jnp.full((kcap,), -1, jnp.int32).at[tgt].set(
+                run_d, mode="drop")
+            kqs = jnp.full((kcap,), -1, jnp.int32).at[tgt].set(
+                run_qs, mode="drop")
+            kqe = jnp.full((kcap,), -1, jnp.int32).at[tgt].set(
+                run_qe, mode="drop")
         nz = jnp.sum(width >= 1, dtype=jnp.int32)  # split-planner input
         packed = jnp.concatenate([kd, kqs, kqe,
                                   jnp.stack([nz,
@@ -1152,7 +1202,8 @@ def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
 def fused_query(text, refk, sa_aug, qt, k: int, capacity: int,
                 run_capacity: int, backend: str = "sort", stride: int = 1,
                 ext_r=None, kept_capacity: int | None = None,
-                minlen: int = 0, split: tuple[int, int] | None = None):
+                minlen: int = 0, split: tuple[int, int] | None = None,
+                ext_q=None):
     """Whole MEM query in ONE dispatch for the common single-round case.
 
     Packs K-mers, joins intervals, expands and extracts runs optimistically
@@ -1161,13 +1212,15 @@ def fused_query(text, refk, sa_aug, qt, k: int, capacity: int,
     run payload — two round trips for the entire query. On overflow the
     returned (lo, width, cum, summary) device arrays feed the planned
     multi-round path with no recomputation. stride > 1 = sparse seeding
-    (sampled query rows into the join, inline endpoint extension).
+    (sampled query rows into the join, inline endpoint extension);
+    ext_q = the query_ext_table tables (computed inline if omitted —
+    per-dispatch O(m) scans the engine avoids by passing them in).
     """
     qk_w, qvalid = sampled_query_keys(qt, k, stride)
     lo, width = _join_intervals(refk, qk_w, qvalid)
     return _fused_tail(text, qt, lo, width, sa_aug, qt.shape[0], k,
                        capacity, run_capacity, backend, stride, ext_r,
-                       kept_capacity, minlen, split)
+                       kept_capacity, minlen, split, ext_q)
 
 
 @functools.partial(jax.jit,
@@ -1178,14 +1231,15 @@ def fused_query_bucket(text, refk, starts, sa_aug, qt, k: int,
                        capacity: int, run_capacity: int, shift: int,
                        probes: int, backend: str = "sort", stride: int = 1,
                        ext_r=None, kept_capacity: int | None = None,
-                       minlen: int = 0, split: tuple[int, int] | None = None):
+                       minlen: int = 0, split: tuple[int, int] | None = None,
+                       ext_q=None):
     """fused_query with the bucket frontend — for references much larger
     than the query batch, where the join would re-sort n + m entries."""
     qk_w, qvalid = sampled_query_keys(qt, k, stride)
     lo, width = _bucket_intervals(refk, starts, qk_w, qvalid, shift, probes)
     return _fused_tail(text, qt, lo, width, sa_aug, qt.shape[0], k,
                        capacity, run_capacity, backend, stride, ext_r,
-                       kept_capacity, minlen, split)
+                       kept_capacity, minlen, split, ext_q)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "block", "stride"))
@@ -1602,18 +1656,21 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
         backend = cfg.match_backend
         probes_used = 12
         minlen = int(cfg.min_length)
+        ext_q = query_ext_table(qt) if stride != 1 else None
         if use_bucket:
             starts, shift, probes = bucket_table(index, k)
             probes_used = probes
             lo, width, cum, summary, packed = fused_query_bucket(
                 index.text, refk, starts, sa_aug, qt, k,
                 capacity, run_cap, shift, probes, backend, stride, ext_r,
-                kept_capacity=kept_cap, minlen=minlen, split=split)
+                kept_capacity=kept_cap, minlen=minlen, split=split,
+                ext_q=ext_q)
         else:
             lo, width, cum, summary, packed = fused_query(
                 index.text, refk, sa_aug, qt, k, capacity,
                 run_cap, backend, stride, ext_r,
-                kept_capacity=kept_cap, minlen=minlen, split=split)
+                kept_capacity=kept_cap, minlen=minlen, split=split,
+                ext_q=ext_q)
         wire = np.asarray(packed)  # the one round trip
         total, max_w = int(wire[-2]), int(wire[-1])
 
@@ -1966,7 +2023,7 @@ def _finalize_strided(batches: list[RunBatch], qt, ext_r, k: int,
                           ).astype(np.int32)
     qe32 = np.concatenate([runs.qend, np.zeros(pad, np.int64)]
                           ).astype(np.int32)
-    ext_q = ext_arrays(qt)
+    ext_q = query_ext_table(qt)
     qstart_p, qend_p = extend_runs(
         jnp.asarray(diag32), jnp.asarray(qs32), jnp.asarray(qe32),
         jnp.int32(nr), ext_r, ext_q, stride, k)

@@ -192,3 +192,29 @@ def test_ext_arrays_semantics():
     assert fx[5] == window
     # fxl[i] packs [i-16, i): fxl[21] covers the same window
     assert fxl[21] == window
+
+
+def test_span_prefilter_deep_minlen_oracle_exact():
+    """The w_min >= 2 fused branch (pre-extension span filter + extension
+    on the compacted kept buffer) is oracle-exact: L=40 with K capped at
+    12 gives stride 12 and w_min = 2, the chr-scale shape."""
+    from slamem_tpu.engine import seed_mode as sm
+    from slamem_tpu.oracle import oracle_matches
+
+    ref = random_genome(40_000, seed=801)
+    qry = mutate(ref, 0.01, 0.001, seed=802)
+    cfg = Config(min_length=40, seed_length_cap=12)
+    k, stride, _ = sm.choose_seed_plan(40_001, len(qry), cfg)
+    span_need = cfg.min_length - k - 2 * (stride - 1)
+    assert span_need > 0 and -(-span_need // stride) + 1 >= 2, \
+        (k, stride)  # the test must actually hit the pre-filter branch
+    index = build_index(np.asarray(ref, np.uint8))
+    want = sorted((int(a), int(b), int(c)) for a, b, c in
+                  oracle_matches(np.asarray(index.text[:-1]), qry,
+                                 cfg.min_length, "mem"))
+    for i in range(3):  # default caps, snapped caps, converged
+        m = sm.find_seed_matches(index, np.asarray(qry, np.uint8), cfg)
+        got = sorted(zip(np.asarray(m.refpos).tolist(),
+                         np.asarray(m.qpos).tolist(),
+                         np.asarray(m.length).tolist()))
+        assert got == want, i
