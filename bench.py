@@ -401,8 +401,8 @@ def run_stage_bench(size: int = SIZE, minlen: int = MINLEN,
                 cfg.match_backend, stride, ext_r,
                 kept_capacity=kept_cap, minlen=minl, split=split,
                 ext_q=ext_q)
-        state["packed"] = out[4]
-        np.asarray(out[3])
+        state["packed"] = out[3]   # (lo, width, summary, packed)
+        np.asarray(out[2])
     fused()
     t_fused = best(fused)
 

@@ -324,10 +324,10 @@ def chr1front():
     cap = 1 << 21
     timed("fused_bucket", lambda: np.asarray(sm.fused_query_bucket(
         index.text, refk, starts, sa_aug, qt, k, cap, cap // 16,
-        shift, probes, "sort", stride, ext_r)[4][-3:]))
+        shift, probes, "sort", stride, ext_r)[3][-3:]))
     timed("fused_join", lambda: np.asarray(sm.fused_query(
         index.text, refk, sa_aug, qt, k, cap, cap // 16,
-        "sort", stride, ext_r)[4][-3:]))
+        "sort", stride, ext_r)[3][-3:]))
 
 
 def chr1():
@@ -417,10 +417,10 @@ def wire():
     run_cap = max(4096, capacity // 16)
     out = seed_mode.fused_query(index.text, refk, sa_aug, qt, k, capacity,
                                 run_cap, "sort")
-    np.asarray(out[4][:1])  # warm
-    n_runs = int(np.asarray(out[4][3 * run_cap]))
-    for label, fetch in (("ground_1elem", lambda o: np.asarray(o[4][:1])),
-                         ("full_wire", lambda o: np.asarray(o[4]))):
+    np.asarray(out[3][:1])  # warm
+    n_runs = int(np.asarray(out[3][3 * run_cap]))
+    for label, fetch in (("ground_1elem", lambda o: np.asarray(o[3][:1])),
+                         ("full_wire", lambda o: np.asarray(o[3]))):
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
@@ -686,10 +686,10 @@ def chr21sparse():
                       "run_cap": run_cap}))
     timed("fused_dispatch_only", lambda: jax.block_until_ready(
         sm.fused_query(index.text, refk, sa_aug, qt, k, capacity, run_cap,
-                       "sort", stride, ext_r)[4]))
+                       "sort", stride, ext_r)[3]))
     timed("fused_plus_wire", lambda: np.asarray(
         sm.fused_query(index.text, refk, sa_aug, qt, k, capacity, run_cap,
-                       "sort", stride, ext_r)[4]))
+                       "sort", stride, ext_r)[3]))
 
 
 
@@ -794,9 +794,9 @@ def hlprof():
         if use_bucket:
             return sm.fused_query_bucket(index.text, refk, starts, sa_aug,
                                          qt, k, capacity, run_cap, shift,
-                                         probes, "sort", stride, ext_r)[4]
+                                         probes, "sort", stride, ext_r)[3]
         return sm.fused_query(index.text, refk, sa_aug, qt, k, capacity,
-                              run_cap, "sort", stride, ext_r)[4]
+                              run_cap, "sort", stride, ext_r)[3]
 
     timed("fused_dispatch_only", lambda: jax.block_until_ready(dispatch()))
     timed("fused_plus_wire", lambda: np.asarray(dispatch()))
@@ -903,7 +903,7 @@ def profscale():
     def dispatch():
         return sm.fused_query_bucket(index.text, refk, starts, sa_aug, qt,
                                      k, capacity, run_cap, shift, probes,
-                                     "sort", stride, ext_r)[4]
+                                     "sort", stride, ext_r)[3]
 
     timed("fused_dispatch_only", lambda: jax.block_until_ready(dispatch()))
     timed("fused_plus_wire", lambda: np.asarray(dispatch()))
@@ -1225,7 +1225,7 @@ def tailprof():
             index.text, refk, starts, sa_aug, qt, k, capacity, run_cap,
             shift, probes, cfg.match_backend, stride, ext_r,
             kept_capacity=kept_cap, minlen=int(cfg.min_length))
-        return np.asarray(out[3])
+        return np.asarray(out[2])
     timed("fused_full", full)
 
     # sort variants at the same shape: 2-key vs stable-1-key-with-payload

@@ -856,6 +856,14 @@ def _join_intervals(refk, qk, qvalid: jax.Array
 
 
 @jax.jit
+def _lazy_cum(width: jax.Array) -> jax.Array:
+    """int64 width cumsum for the overflow planner — one small extra
+    dispatch on the rare fallback, instead of an XLA scan in every fused
+    call (_fused_tail's summary needs only sum/max reduces)."""
+    return jnp.cumsum(width.astype(jnp.int64))
+
+
+@jax.jit
 def _plan_bounds(cum: jax.Array, grid: jax.Array) -> jax.Array:
     return jnp.searchsorted(cum, grid, side="left") + 1
 
@@ -1105,8 +1113,12 @@ def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
     n_runs > run_capacity check. n_kept itself is exact only when
     n_runs <= run_capacity (the keep flags only see compacted slots).
     """
-    cum = jnp.cumsum(width.astype(jnp.int64))
-    summary = jnp.stack([cum[-1], jnp.max(width).astype(jnp.int64)])
+    # summary from sum/max REDUCES, not a scan: the int64 width cumsum is
+    # consumed only by the overflow path's round planner, and XLA scans
+    # are the slow primitive on v5e — the host computes it lazily (one
+    # tiny extra dispatch) in the rare fallback instead of every call
+    summary = jnp.stack([jnp.sum(width, dtype=jnp.int64),
+                         jnp.max(width).astype(jnp.int64)])
     m_off = jnp.int32(m + 1)  # diag_mod = 2m + 2 convention
     i32max = jnp.int64(np.iinfo(np.int32).max)
     clipped = jnp.stack([jnp.minimum(summary[0], i32max).astype(jnp.int32),
@@ -1192,7 +1204,7 @@ def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
                                              n_kept.astype(jnp.int32),
                                              n_runs.astype(jnp.int32)]),
                                   clipped])
-    return lo, width, cum, summary, packed
+    return lo, width, summary, packed
 
 
 @functools.partial(jax.jit,
@@ -1660,13 +1672,13 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
         if use_bucket:
             starts, shift, probes = bucket_table(index, k)
             probes_used = probes
-            lo, width, cum, summary, packed = fused_query_bucket(
+            lo, width, summary, packed = fused_query_bucket(
                 index.text, refk, starts, sa_aug, qt, k,
                 capacity, run_cap, shift, probes, backend, stride, ext_r,
                 kept_capacity=kept_cap, minlen=minlen, split=split,
                 ext_q=ext_q)
         else:
-            lo, width, cum, summary, packed = fused_query(
+            lo, width, summary, packed = fused_query(
                 index.text, refk, sa_aug, qt, k, capacity,
                 run_cap, backend, stride, ext_r,
                 kept_capacity=kept_cap, minlen=minlen, split=split,
@@ -1712,7 +1724,8 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                 _split_blocklist.add((id(index.sa), k, stride))
                 _set_last_total(index, k, total, stride=stride, nonzero=nz)
                 return pairs_to_matches(
-                    index, lo, width, k, m_p, cfg, mesh, sa_aug, cum=cum,
+                    index, lo, width, k, m_p, cfg, mesh, sa_aug,
+                    cum=_lazy_cum(width),
                     summary=np.asarray(summary), qt=qt, stride=stride,
                     ext_r=ext_r,
                     frontend=(use_bucket, probes_used, len(refk)))
@@ -1728,7 +1741,7 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                     wire[:kept_cap], wire[kept_cap:2 * kept_cap],
                     wire[2 * kept_cap:3 * kept_cap], n_kept, m_p + 1))
         return pairs_to_matches(index, lo, width, k, m_p, cfg, mesh,
-                                sa_aug, cum=cum,
+                                sa_aug, cum=_lazy_cum(width),
                                 summary=np.asarray(summary), qt=qt,
                                 stride=stride, ext_r=ext_r,
                                 frontend=(use_bucket, probes_used,
