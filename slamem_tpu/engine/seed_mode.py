@@ -486,6 +486,18 @@ def choose_seed_plan(n: int, m: int, cfg) -> tuple[int, int, bool]:
     return k, stride, sparse
 
 
+def span_w_min(minlen: int, k: int, stride: int) -> int:
+    """Minimum aligned-window count a run needs to possibly reach minlen.
+
+    A run of w windows covers at most k + (w-1)*stride + 2*(stride-1)
+    characters (endpoint extension moves each boundary < stride chars —
+    choose_stride's bounded-extension argument), so runs below this bound
+    are provably dead and both extension tails drop them pre-extension.
+    """
+    span_need = minlen - k - 2 * (stride - 1)
+    return (-(-span_need // stride) + 1) if span_need > 0 else 1
+
+
 def choose_stride(k: int, min_length: int) -> int:
     """Query-seed sampling stride S = min(16, K, L-K+1) — exact for MEMs.
 
@@ -1148,13 +1160,9 @@ def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
             n_runs = jnp.where(split_ovf, _I32MAX, n_runs)
         kcap = run_capacity if kept_capacity is None else kept_capacity
         slot = jnp.arange(run_capacity, dtype=jnp.int32)
-        # Pre-extension span bound: a run of w aligned windows covers at
-        # most k + (w-1)*stride + 2*(stride-1) characters — the endpoint
-        # extension moves each boundary < stride chars (choose_stride's
-        # bounded-extension argument) — so runs of fewer than w_min
-        # windows can NEVER reach minlen. All quantities static.
-        span_need = minlen - k - 2 * (stride - 1)
-        w_min = (-(-span_need // stride) + 1) if span_need > 0 else 1
+        # Pre-extension span bound (span_w_min): runs of fewer than
+        # w_min windows can NEVER reach minlen. All quantities static.
+        w_min = span_w_min(minlen, k, stride)
         if stride != 1 and w_min >= 2:
             # chr-scale shape (deep minlen): the n*m_s/4^K noise
             # collisions are single-window runs and dominate the raw run
@@ -2024,6 +2032,13 @@ def _finalize_strided(batches: list[RunBatch], qt, ext_r, k: int,
     """
     runs = merge_runs(batches) if batches else RunBatch(
         np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64))
+    # same pre-extension span bound as the fused path (span_w_min): the
+    # provably-short runs (chr-scale noise collisions) never enter the
+    # padded extension dispatch — a host boolean filter here
+    w_min = span_w_min(int(cfg.min_length), k, stride)
+    if w_min > 1:
+        ok = (runs.qend - runs.qstart + 1) >= w_min
+        runs = RunBatch(runs.diag[ok], runs.qstart[ok], runs.qend[ok])
     nr = int(runs.diag.size)
     if nr == 0:
         e = np.zeros(0, np.int64)
