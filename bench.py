@@ -153,7 +153,7 @@ def run_bench(size: int, minlen: int, repeats: int = 5) -> dict:
 
 
 def run_config2_bench(size: int = 5_000_000, strains: int = 10,
-                      minlen: int = 30, repeats: int = 2) -> dict:
+                      minlen: int = 30, repeats: int = 4) -> dict:
     """BASELINE config #2 stand-in: 10 mutated strains (multi-FASTA query)
     vs one reference, -l 30, through the full engine (per-strain batched
     dispatch + formatting order)."""
@@ -263,7 +263,7 @@ def run_chr1_bench(size: int = 250_000_000, query_bp: int = 50_000_000,
 
 
 def run_mam_bench(size: int = 5_000_000, minlen: int = 20,
-                  repeats: int = 2) -> dict:
+                  repeats: int = 4) -> dict:
     """BASELINE config #3: MAM (reference-unique) mode on the E. coli pair.
 
     Uniqueness is decided from the match set alone (run-containment,
@@ -394,13 +394,13 @@ def run_stage_bench(size: int = SIZE, minlen: int = MINLEN,
                 index.text, refk, starts, sa_aug, qt, k, capacity, run_cap,
                 shift, probes, cfg.match_backend, stride, ext_r,
                 kept_capacity=kept_cap, minlen=minl, split=split,
-                ext_q=ext_q)
+                ext_q=ext_q, elig_capacity=plan.elig_cap)
         else:
             out = sm.fused_query(
                 index.text, refk, sa_aug, qt, k, capacity, run_cap,
                 cfg.match_backend, stride, ext_r,
                 kept_capacity=kept_cap, minlen=minl, split=split,
-                ext_q=ext_q)
+                ext_q=ext_q, elig_capacity=plan.elig_cap)
         state["packed"] = out[3]   # (lo, width, summary, packed)
         np.asarray(out[2])
     fused()

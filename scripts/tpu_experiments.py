@@ -1803,5 +1803,71 @@ def saprobe():
         sys.stdout.flush()
 
 
+def chr1split():
+    """Forced-split A/B at the chr1 shape (250 Mbp ref, 50 Mbp query,
+    -l 50): the split gate (2*resid <= capacity/2) disables split there
+    because the residual mass is ~2.2M of 5.6M pairs. Measures the fused
+    dispatch with split=None vs a forced split sized from the true
+    residual, device-grounded, to decide whether the gate should widen.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from slamem_tpu.config import Config
+    from slamem_tpu.engine import seed_mode as sm
+    from slamem_tpu.index.build import build_index
+    from slamem_tpu.utils.synth import strain_pair
+
+    ref, qry = strain_pair(250_000_000, seed=20260816, sub_rate=0.03,
+                           indel_rate=0.003)
+    qry = qry[:50_000_000]
+    index = build_index(ref)
+    jax.block_until_ready(index.sa)
+    cfg = Config(min_length=50)
+    qp, qt = sm.query_to_device(qry)
+    m_p = int(qp.shape[0])
+    # converge the adaptive plan first
+    sm.find_seed_matches(index, qry, cfg)
+    sm.find_seed_matches(index, qry, cfg)
+    plan = sm.plan_fused(index, m_p, cfg, qry)
+    k, stride = plan.k, plan.stride
+    refk, sa_aug = sm.seed_table(index, k)
+    ext_r = sm.ext_table(index)
+    ext_q = sm.query_ext_table(qt)
+    starts, shift, probes = sm.bucket_table(index, k)
+    last_pairs, last_runs, last_kept = sm._last_total(index, k, stride)
+    nz = sm._last_nonzero(index, k, stride)
+    resid = max(0, last_pairs - (nz or 0))
+    print(json.dumps({"exp": "chr1split", "plan": str(plan)[:160],
+                      "pairs": last_pairs, "nonzero": nz, "resid": resid}))
+    sys.stdout.flush()
+
+    m_s = -(-m_p // stride)
+    resid_cap = sm.capacity_bucket(resid, 1 << 16, plan.capacity)
+    variants = {"split_none": None,
+                "split_forced": (min(resid_cap, m_s), resid_cap)}
+    for name, split in variants.items():
+        def dispatch(split=split):
+            out = sm.fused_query_bucket(
+                index.text, refk, starts, sa_aug, qt, k, plan.capacity,
+                plan.run_cap, shift, probes, "sort", stride, ext_r,
+                kept_capacity=plan.kept_cap, minlen=int(cfg.min_length),
+                split=split, ext_q=ext_q)
+            return np.asarray(out[2])  # summary grounds the dispatch
+        try:
+            dispatch()
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                dispatch()
+                ts.append(time.perf_counter() - t0)
+            print(json.dumps({"exp": "chr1split", "t": name,
+                              "s": round(min(ts), 4)}))
+        except Exception as e:
+            print(json.dumps({"exp": "chr1split", "t": name,
+                              "error": str(e)[:150]}))
+        sys.stdout.flush()
+
+
 if __name__ == "__main__":
     globals()[sys.argv[1]]()

@@ -220,18 +220,33 @@ def _last_nonzero(index: FMIndex, k: int, stride: int = 1) -> int | None:
     return None
 
 
+def _last_elig(index: FMIndex, k: int, stride: int = 1) -> int | None:
+    """Last observed span-ELIGIBLE run count (None if unknown).
+
+    Sizes the intermediate extension buffer on deep-minlen shapes: span-
+    eligible runs (>= w_min windows) include sub-minlen true runs that the
+    post-extension filter drops, so elig >= kept and the two buffers need
+    independent capacities (the wire carries only kept)."""
+    hit = _last_total_cache.get((id(index.sa), k, stride))
+    if hit is not None and hit[0]() is index.sa and len(hit) > 5:
+        return hit[5]
+    return None
+
+
 def _set_last_total(index: FMIndex, k: int, total: int,
                     runs: int | None = None, stride: int = 1,
                     kept: int | None = None,
-                    nonzero: int | None = None) -> None:
+                    nonzero: int | None = None,
+                    elig: int | None = None) -> None:
     if len(_last_total_cache) > 16:
         _last_total_cache.clear()
     _last_total_cache[(id(index.sa), k, stride)] = (
-        weakref.ref(index.sa), total, runs, kept, nonzero)
+        weakref.ref(index.sa), total, runs, kept, nonzero, elig)
     hit = _disk_key_of.get((id(index.sa), k, stride))
     if hit is not None and hit[0]() is index.sa:
         adaptive.put(hit[1], {
             "pairs": total, "runs": runs, "kept": kept, "nonzero": nonzero,
+            "elig": elig,
             "split_blocked": (id(index.sa), k, stride) in _split_blocklist})
 
 
@@ -260,7 +275,7 @@ def seed_last_from_disk(index: FMIndex, k: int, stride: int, m_p: int,
         return
     _last_total_cache[memkey] = (weakref.ref(index.sa), int(rec["pairs"]),
                                  rec.get("runs"), rec.get("kept"),
-                                 rec.get("nonzero"))
+                                 rec.get("nonzero"), rec.get("elig"))
     if rec.get("split_blocked"):
         _split_blocklist.add(memkey)
 
@@ -1097,7 +1112,8 @@ def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
                 run_capacity: int, backend: str, stride: int = 1,
                 ext_r=None, kept_capacity: int | None = None,
                 minlen: int = 0,
-                split: tuple[int, int] | None = None, ext_q=None):
+                split: tuple[int, int] | None = None, ext_q=None,
+                elig_capacity: int | None = None):
     """Shared fused-query tail: expansion + run extraction, ONE int32 wire.
 
     backend "sort": kept-run triples (3 x kept_capacity) +
@@ -1166,26 +1182,40 @@ def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
         if stride != 1 and w_min >= 2:
             # chr-scale shape (deep minlen): the n*m_s/4^K noise
             # collisions are single-window runs and dominate the raw run
-            # buffer (~3.3M of ~3.7M at the chr1 config) — filter +
-            # compact FIRST, then run the 4-gather extension on the small
-            # kept buffer only. Entries extension leaves under minlen are
-            # dropped by the host's final length filter (_fused_result /
-            # runs decode), as always.
-            keep = (slot < n_runs) & (run_qe - run_qs + 1
+            # buffer (~3.3M of ~3.7M at the chr1 config) — filter by the
+            # span bound + compact into the ELIGIBLE buffer, run the
+            # 4-gather extension there, then apply the exact final length
+            # filter and compact into the (smaller) kept wire. Eligible
+            # and kept counts differ (sub-minlen true runs are eligible),
+            # so each buffer is adaptively sized on its own (plan_fused).
+            ecap = kcap if elig_capacity is None else elig_capacity
+            elig = (slot < n_runs) & (run_qe - run_qs + 1
                                       >= jnp.int32(w_min))
+            eidx = jnp.cumsum(elig.astype(jnp.int32)) - 1
+            n_elig = eidx[-1] + 1
+            tgt_e = jnp.where(elig, eidx, jnp.int32(ecap))
+            ed_ = jnp.full((ecap,), -1, jnp.int32).at[tgt_e].set(
+                run_d, mode="drop")
+            eqs0 = jnp.full((ecap,), -1, jnp.int32).at[tgt_e].set(
+                run_qs, mode="drop")
+            eqe0 = jnp.full((ecap,), -1, jnp.int32).at[tgt_e].set(
+                run_qe, mode="drop")
+            if ext_q is None:  # direct callers; the engine passes the
+                ext_q = ext_arrays(qt)  # per-query cached tables instead
+            eqs, eqe = _extend_core(
+                ed_ - m_off, eqs0, eqe0, n_elig, ext_r, ext_q, stride, k)
+            slot_e = jnp.arange(ecap, dtype=jnp.int32)
+            length = eqe - eqs + jnp.int32(k)
+            keep = (slot_e < n_elig) & (length >= jnp.int32(minlen))
             kidx = jnp.cumsum(keep.astype(jnp.int32)) - 1
             n_kept = kidx[-1] + 1
             tgt = jnp.where(keep, kidx, jnp.int32(kcap))
             kd = jnp.full((kcap,), -1, jnp.int32).at[tgt].set(
-                run_d, mode="drop")
-            kqs0 = jnp.full((kcap,), -1, jnp.int32).at[tgt].set(
-                run_qs, mode="drop")
-            kqe0 = jnp.full((kcap,), -1, jnp.int32).at[tgt].set(
-                run_qe, mode="drop")
-            if ext_q is None:  # direct callers; the engine passes the
-                ext_q = ext_arrays(qt)  # per-query cached tables instead
-            kqs, kqe = _extend_core(
-                kd - m_off, kqs0, kqe0, n_kept, ext_r, ext_q, stride, k)
+                ed_, mode="drop")
+            kqs = jnp.full((kcap,), -1, jnp.int32).at[tgt].set(
+                eqs, mode="drop")
+            kqe = jnp.full((kcap,), -1, jnp.int32).at[tgt].set(
+                eqe, mode="drop")
         else:
             if stride != 1:
                 # shallow minlen (w_min == 1): every run is span-eligible,
@@ -1206,9 +1236,11 @@ def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
                 run_qs, mode="drop")
             kqe = jnp.full((kcap,), -1, jnp.int32).at[tgt].set(
                 run_qe, mode="drop")
+            n_elig = n_kept   # no intermediate buffer on these shapes
         nz = jnp.sum(width >= 1, dtype=jnp.int32)  # split-planner input
         packed = jnp.concatenate([kd, kqs, kqe,
                                   jnp.stack([nz,
+                                             n_elig.astype(jnp.int32),
                                              n_kept.astype(jnp.int32),
                                              n_runs.astype(jnp.int32)]),
                                   clipped])
@@ -1218,12 +1250,12 @@ def _fused_tail(text, qt, lo, width, sa_aug, m, k: int, capacity: int,
 @functools.partial(jax.jit,
                    static_argnames=("k", "capacity", "run_capacity",
                                     "backend", "stride", "kept_capacity",
-                                    "minlen", "split"))
+                                    "minlen", "split", "elig_capacity"))
 def fused_query(text, refk, sa_aug, qt, k: int, capacity: int,
                 run_capacity: int, backend: str = "sort", stride: int = 1,
                 ext_r=None, kept_capacity: int | None = None,
                 minlen: int = 0, split: tuple[int, int] | None = None,
-                ext_q=None):
+                ext_q=None, elig_capacity: int | None = None):
     """Whole MEM query in ONE dispatch for the common single-round case.
 
     Packs K-mers, joins intervals, expands and extracts runs optimistically
@@ -1240,26 +1272,27 @@ def fused_query(text, refk, sa_aug, qt, k: int, capacity: int,
     lo, width = _join_intervals(refk, qk_w, qvalid)
     return _fused_tail(text, qt, lo, width, sa_aug, qt.shape[0], k,
                        capacity, run_capacity, backend, stride, ext_r,
-                       kept_capacity, minlen, split, ext_q)
+                       kept_capacity, minlen, split, ext_q, elig_capacity)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "capacity", "run_capacity", "shift",
                                     "probes", "backend", "stride",
-                                    "kept_capacity", "minlen", "split"))
+                                    "kept_capacity", "minlen", "split",
+                                    "elig_capacity"))
 def fused_query_bucket(text, refk, starts, sa_aug, qt, k: int,
                        capacity: int, run_capacity: int, shift: int,
                        probes: int, backend: str = "sort", stride: int = 1,
                        ext_r=None, kept_capacity: int | None = None,
                        minlen: int = 0, split: tuple[int, int] | None = None,
-                       ext_q=None):
+                       ext_q=None, elig_capacity: int | None = None):
     """fused_query with the bucket frontend — for references much larger
     than the query batch, where the join would re-sort n + m entries."""
     qk_w, qvalid = sampled_query_keys(qt, k, stride)
     lo, width = _bucket_intervals(refk, starts, qk_w, qvalid, shift, probes)
     return _fused_tail(text, qt, lo, width, sa_aug, qt.shape[0], k,
                        capacity, run_capacity, backend, stride, ext_r,
-                       kept_capacity, minlen, split, ext_q)
+                       kept_capacity, minlen, split, ext_q, elig_capacity)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "block", "stride"))
@@ -1570,6 +1603,7 @@ class FusedPlan:
     capacity: int
     run_cap: int
     kept_cap: int
+    elig_cap: int
     split: tuple[int, int] | None
     skip_fused: bool
     use_bucket: bool
@@ -1616,6 +1650,17 @@ def plan_fused(index: FMIndex, m_p: int, cfg: Config,
     kept_cap = run_cap
     if last_kept is not None:
         kept_cap = min(run_cap, capacity_bucket(last_kept, 1 << 12, run_cap))
+    # deep-minlen shapes (span_w_min >= 2) route extension through a
+    # span-ELIGIBLE intermediate buffer whose count exceeds the final kept
+    # (sub-minlen true runs are eligible but filtered post-extension) —
+    # sized independently so the wire stays at the kept count
+    elig_cap = kept_cap
+    if span_w_min(int(cfg.min_length), k, stride) >= 2:
+        elig_cap = run_cap
+        last_elig = _last_elig(index, k, stride)
+        if last_elig is not None:
+            elig_cap = min(run_cap,
+                           capacity_bucket(last_elig, 1 << 12, run_cap))
     # split expansion (thin width distributions) replaces the capacity-wide
     # delta-fill skeleton with a direct first-pair gather + small residual
     # buffer. The residual pair mass is EXACT from last call's wire:
@@ -1646,8 +1691,8 @@ def plan_fused(index: FMIndex, m_p: int, cfg: Config,
         words = 2 if k > 16 else 1
         use_bucket = prefer_bucket(index.n, m_s, words, probes_auto)
     return FusedPlan(k=k, stride=stride, capacity=capacity, run_cap=run_cap,
-                     kept_cap=kept_cap, split=split, skip_fused=skip_fused,
-                     use_bucket=use_bucket, m_p=m_p)
+                     kept_cap=kept_cap, elig_cap=elig_cap, split=split,
+                     skip_fused=skip_fused, use_bucket=use_bucket, m_p=m_p)
 
 
 def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
@@ -1684,13 +1729,13 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                 index.text, refk, starts, sa_aug, qt, k,
                 capacity, run_cap, shift, probes, backend, stride, ext_r,
                 kept_capacity=kept_cap, minlen=minlen, split=split,
-                ext_q=ext_q)
+                ext_q=ext_q, elig_capacity=plan.elig_cap)
         else:
             lo, width, summary, packed = fused_query(
                 index.text, refk, sa_aug, qt, k, capacity,
                 run_cap, backend, stride, ext_r,
                 kept_capacity=kept_cap, minlen=minlen, split=split,
-                ext_q=ext_q)
+                ext_q=ext_q, elig_capacity=plan.elig_cap)
         wire = np.asarray(packed)  # the one round trip
         total, max_w = int(wire[-2]), int(wire[-1])
 
@@ -1722,7 +1767,8 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                        wire[3 * run_cap:4 * run_cap], ns, ne)
                 return _fused_result(bb.runs(m_p + 1))
         else:
-            nz = int(wire[-5])  # exact even on overflow (frontend widths)
+            nz = int(wire[-6])  # exact even on overflow (frontend widths)
+            n_elig = int(wire[-5])
             n_kept, n_runs = int(wire[-4]), int(wire[-3])
             if split is not None and n_runs == np.iinfo(np.int32).max:
                 # split-expansion overflow: the pair set may be incomplete
@@ -1737,14 +1783,16 @@ def find_seed_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                     summary=np.asarray(summary), qt=qt, stride=stride,
                     ext_r=ext_r,
                     frontend=(use_bucket, probes_used, len(refk)))
-            # n_kept counts keep-flags over compacted run slots, so it is
-            # exact only when the raw run buffer held every run; a truncated
-            # round must not poison the kept-buffer prediction either
+            # n_elig/n_kept count flags over compacted slots, so each is
+            # exact only when every upstream buffer held its full set; a
+            # truncated stage must not poison the downstream predictions
             runs_exact = fits and n_runs <= run_cap
+            elig_exact = runs_exact and n_elig <= plan.elig_cap
             _set_last_total(index, k, total, n_runs if fits else None,
-                            stride, kept=n_kept if runs_exact else None,
-                            nonzero=nz)
-            if runs_exact and n_kept <= kept_cap:
+                            stride, kept=n_kept if elig_exact else None,
+                            nonzero=nz,
+                            elig=n_elig if runs_exact else None)
+            if elig_exact and n_kept <= kept_cap:
                 return _fused_result(runs_from_compacted32(
                     wire[:kept_cap], wire[kept_cap:2 * kept_cap],
                     wire[2 * kept_cap:3 * kept_cap], n_kept, m_p + 1))

@@ -452,7 +452,7 @@ def test_adaptive_run_cap_decoupled(monkeypatch):
     second = engine_tuples(index, np.asarray(qry, np.uint8), cfg)
     assert second == first
     # the repeat call sized pairs AND runs from their own observed counts
-    (_sa, pairs, runs, kept, _nz), = list(
+    (_sa, pairs, runs, kept, _nz, _elig), = list(
         seed_mode._last_total_cache.values())
     assert len(calls) >= 2
     totals = [c[0] for c in calls]
