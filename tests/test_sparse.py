@@ -218,3 +218,39 @@ def test_span_prefilter_deep_minlen_oracle_exact():
                          np.asarray(m.qpos).tolist(),
                          np.asarray(m.length).tolist()))
         assert got == want, i
+
+
+def test_elig_buffer_overflow_falls_back_exact():
+    """A stale tiny 'elig' prediction under-sizes the span-eligible
+    intermediate; the n_elig > elig_cap overflow must discard the fused
+    wire and fall through to the exact multi-round path."""
+    import weakref
+
+    from slamem_tpu.engine import seed_mode as sm
+
+    ref = random_genome(600_000, seed=811)
+    qry = mutate(ref, 0.01, 0.001, seed=812)
+    cfg = Config(min_length=40, seed_length_cap=12)
+    index = build_index(np.asarray(ref, np.uint8))
+    qarr = np.asarray(qry, np.uint8)
+    want = sorted(
+        zip(*map(lambda a: np.asarray(a).tolist(),
+                 (lambda m: (m.refpos, m.qpos, m.length))(
+                     sm.find_seed_matches(index, qarr, cfg)))))
+    m_p = int(sm.pad_query(qarr).shape[0])
+    k, stride, _ = sm.choose_seed_plan(index.n, m_p, cfg)
+    assert sm.span_w_min(cfg.min_length, k, stride) >= 2
+    pairs, runs, kept = sm._last_total(index, k, stride)
+    nz = sm._last_nonzero(index, k, stride)
+    n_elig = sm._last_elig(index, k, stride)
+    assert n_elig is not None and n_elig > 4096 + 64, n_elig
+    # poison ONLY the elig prediction (floor bucket is 4096)
+    sm._set_last_total(index, k, pairs, runs, stride, kept=kept,
+                       nonzero=nz, elig=10)
+    plan = sm.plan_fused(index, m_p, cfg)
+    assert plan.elig_cap < n_elig   # under-sized: the fused wire overflows
+    m = sm.find_seed_matches(index, qarr, cfg)
+    got = sorted(zip(np.asarray(m.refpos).tolist(),
+                     np.asarray(m.qpos).tolist(),
+                     np.asarray(m.length).tolist()))
+    assert got == want
