@@ -216,7 +216,7 @@ def run_config2_bench(size: int = 5_000_000, strains: int = 10,
 
 
 def run_chr1_bench(size: int = 250_000_000, query_bp: int = 50_000_000,
-                   minlen: int = 50, repeats: int = 3) -> dict:
+                   minlen: int = 50, repeats: int = 5) -> dict:
     """BASELINE config #5 stand-in: chr1-scale pair (250 Mbp reference,
     50 Mbp query slice, dissimilar-genome mutation rates). On one chip the
     sharded path delegates to the fused replicated engine (DESIGN.md §5c);
