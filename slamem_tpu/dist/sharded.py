@@ -327,12 +327,17 @@ def find_seed_matches_sharded(index: FMIndex, query_text: np.ndarray,
     m_off32 = jnp.asarray(m_off, jnp.int32)
     run_cap = max(4096, capacity // 16)
     batches: list[RunBatch] = []
+    true_pairs = 0   # psum'd cross-shard total, accumulated per block
     for start, end in blocks:
         st = jnp.asarray(start, jnp.int64)
         en = jnp.asarray(end, jnp.int64)
         run_d, run_qs, run_qe, n_runs, _tot = sharded_expand_runs(
             mesh, sa_sh, lo_ext, w_ext, st, en, m_off32, capacity,
             run_cap, block, stride)
+        # every shard's psum equals the block's global pair count; entry 0
+        # suffices (ADVICE r4: summary_h[0] is the cumsum of per-position
+        # WORST-shard widths — a planning bound, not the pair total)
+        true_pairs += int(np.asarray(_tot)[0])
         n_runs_h = np.asarray(n_runs)
         run_d_h = np.asarray(run_d)
         run_qs_h = np.asarray(run_qs)
@@ -362,10 +367,9 @@ def find_seed_matches_sharded(index: FMIndex, query_text: np.ndarray,
     # same observability contract as the replicated engine (VERDICT r3
     # weak #6): pairs/rounds/roofline ride on the result so the CLI -shard
     # -v path logs the PhaseLog fields every other path gets
-    total_pairs = int(summary_h[0])
-    matches.stats = {"pairs": total_pairs, "k": k, "rounds": len(blocks),
+    matches.stats = {"pairs": true_pairs, "k": k, "rounds": len(blocks),
                      "stride": stride, "shards": ndev,
                      "bytes_min": seed_mode.roofline_bytes(
-                         index.n, m, len(refk_sh), total_pairs,
+                         index.n, m, len(refk_sh), true_pairs,
                          bucket=use_bucket, stride=stride, probes=probes)}
     return matches

@@ -89,16 +89,44 @@ def get(key: str) -> dict | None:
     return _load().get(key)
 
 
+# Bound on stored records (ADVICE r4): keys include the query fingerprint,
+# m_p and minlen, so a long-lived serving process with varied workloads
+# would otherwise grow the file — and its per-update rewrite — unboundedly.
+# Eviction is insertion-order (oldest first); a re-put refreshes recency.
+_MAX_RECORDS = 512
+
+
 def put(key: str, rec: dict) -> None:
-    """Write-through with atomic replace; no-op when the record is stable."""
+    """Write-through with atomic replace; no-op when the record is stable.
+
+    Before writing, the on-disk store is re-read and merged under ours
+    (concurrent processes each contribute their records instead of
+    last-writer-wins clobbering), then trimmed to _MAX_RECORDS oldest-first.
+    """
+    global _store
     if _DISABLED:
         return
     store = _load()
     if store.get(key) == rec:
         return
+    store.pop(key, None)   # re-insertion refreshes recency for eviction
     store[key] = rec
     try:
         os.makedirs(os.path.dirname(_PATH), exist_ok=True)
+        try:
+            with open(_PATH) as f:
+                disk = json.load(f)
+        except (OSError, ValueError):
+            disk = {}
+        # disk wins for every key but the one being written: a concurrent
+        # process that wrote after our load has the fresher observation
+        disk = {**store, **disk}
+        disk.pop(key, None)
+        disk[key] = rec
+        if len(disk) > _MAX_RECORDS:
+            for old in list(disk)[:len(disk) - _MAX_RECORDS]:
+                del disk[old]
+        _store = store = disk
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(_PATH),
                                    prefix=".adaptive-")
         with os.fdopen(fd, "w") as f:

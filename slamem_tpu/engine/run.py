@@ -128,9 +128,14 @@ def run_engine(ref_set: FastaSet, query_set: FastaSet, cfg: Config,
             # repeat) reuses the same array OBJECT, so query_to_device's
             # id-memoization also skips the multi-MB re-upload — without
             # this, config #2 repeats paid a joined-text rebuild + full
-            # upload that every single-query config memoizes away
+            # upload that every single-query config memoizes away.
+            # CONTRACT (ADVICE r4): FastaSet is treated as immutable, like
+            # every id()-memoized array in the engine; the key carries
+            # id(query_set.codes) so replacing the codes array (the only
+            # legal "mutation") invalidates the cache.
             cache = getattr(query_set, "_joined_cache", None)
-            if cache is not None and cache[0] == tuple(strands):
+            if (cache is not None
+                    and cache[0] == (tuple(strands), id(query_set.codes))):
                 qtext, qstarts = cache[1], cache[2]
             else:
                 parts = []
@@ -143,7 +148,8 @@ def run_engine(ref_set: FastaSet, query_set: FastaSet, cfg: Config,
                     starts=np.concatenate(([0], np.cumsum(lengths)[:-1])),
                     lengths=lengths, codes=np.concatenate(parts))
                 qtext, qstarts = joined.with_separators()
-                query_set._joined_cache = (tuple(strands), qtext, qstarts)
+                query_set._joined_cache = (
+                    (tuple(strands), id(query_set.codes)), qtext, qstarts)
             qbp += int(query_set.lengths.sum()) * len(strands)
             with log.phase("query", bp=len(qtext),
                            entries=len(entries)) as rec:

@@ -60,7 +60,10 @@ def index_digest(index: "FMIndex") -> str:
         return hit[1]
     from slamem_tpu.engine.adaptive import text_digest
 
-    digest = text_digest(index.text)
+    # hash WITHOUT the appended CODE_SEP terminator: build_index/load_index
+    # register the digest of the pre-terminator text, and all three paths
+    # must key the same adaptive-disk records (ADVICE r4)
+    digest = text_digest(np.asarray(index.text)[:-1])
     register_digest(index, digest)
     return digest
 

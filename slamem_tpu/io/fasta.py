@@ -65,6 +65,12 @@ class FastaSet:
     ``codes`` holds all sequences back to back **without** separators;
     ``starts[k] .. starts[k]+lengths[k]`` is sequence k. ``with_separators``
     materializes the separator-joined text used for index construction.
+
+    Treat instances as IMMUTABLE after construction: the engine memoizes
+    per-object derived state (joined request text in run_engine, device
+    uploads in seed_mode.query_to_device) keyed by array identity. To
+    change the content, build a new FastaSet (or at minimum a new ``codes``
+    array — in-place writes to it would serve stale memoized state).
     """
 
     names: list[str]

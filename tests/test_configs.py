@@ -114,5 +114,19 @@ def test_joined_request_cache_repeats_and_strand_change():
 
     cfg_b = Config(min_length=20, both_strands=True)
     out3 = run_engine(ref_set, qry_set, cfg_b)
-    assert qry_set._joined_cache[0] == (False, True)  # rebuilt for -b
+    # rebuilt for -b; key also carries codes identity (ADVICE r4 contract)
+    assert qry_set._joined_cache[0] == ((False, True), id(qry_set.codes))
     check_vs_oracle(out3, ref_set, qry_set, cfg_b)
+
+    # replacing the codes array (the one legal "mutation") invalidates the
+    # memo even with identical strands
+    import dataclasses as _dc
+
+    import numpy as _np
+
+    qry_set2 = _dc.replace(qry_set, codes=qry_set.codes.copy())
+    qry_set2._joined_cache = qry_set._joined_cache  # simulate a stale carry
+    out4 = run_engine(ref_set, qry_set2, cfg_b)
+    assert qry_set2._joined_cache[0][1] == id(qry_set2.codes)
+    assert tuples(out3) == tuples(out4)
+    assert _np.array_equal(qry_set2.codes, qry_set.codes)
