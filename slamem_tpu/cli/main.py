@@ -38,6 +38,8 @@ Options:
                 parity/reference engine, orders slower; no -shard/mesh)
   -shard        shard the index by SA-rank range over all devices
                 (chr1-scale references; BASELINE config #5)
+  -slabs <n>    slab count for -shard (default: device count); n > 1 on a
+                single device runs the true multi-slab program on-chip
   -sparse <s>   sparse seeding: auto (default) or off (A/B surface;
                 engine/seed_mode.py choose_stride)
   -v            verbose progress/statistics
@@ -53,6 +55,7 @@ def parse_args(argv: list[str]) -> tuple[Config, str, list[str], dict]:
     plot = None
     engine = "seed"
     shard = False
+    slabs = None
     sparse = "auto"
     verbose = False
     extras: dict = {"save_index": None, "load_index": None}
@@ -103,6 +106,14 @@ def parse_args(argv: list[str]) -> tuple[Config, str, list[str], dict]:
             engine = argv[i]
         elif a == "-shard":
             shard = True
+        elif a == "-slabs":
+            i += 1
+            if i >= len(argv):
+                raise CliError("-slabs requires a value")
+            try:
+                slabs = int(argv[i])
+            except ValueError:
+                raise CliError(f"-slabs requires an integer, got {argv[i]!r}")
         elif a == "-sparse":
             i += 1
             if i >= len(argv) or argv[i] not in ("auto", "off"):
@@ -122,7 +133,8 @@ def parse_args(argv: list[str]) -> tuple[Config, str, list[str], dict]:
     try:
         cfg = Config(mode=mode, min_length=min_length, out_path=out_path,
                      both_strands=both, dotplot_path=plot, engine=engine,
-                     shard_index=shard, sparse_seeds=sparse, verbose=verbose)
+                     shard_index=shard, shard_slabs=slabs,
+                     sparse_seeds=sparse, verbose=verbose)
     except ValueError as e:
         raise CliError(str(e))
     return cfg, paths[0], paths[1:], extras

@@ -77,10 +77,22 @@ class Config:
     # --- distribution (SURVEY §2 "new first-class components") ---
     data_parallel: bool = True      # stream query batches data-parallel
     shard_index: bool = False       # shard FM-index by SA-rank range (config #5)
+    # Slab count for -shard, decoupled from the device count (VERDICT r4
+    # #1): None = one slab per mesh device (the pod-slice layout); an
+    # explicit value > 1 on a SINGLE device runs the true multi-slab
+    # program — per-slab tables, slab frontends, per-slab expansion, merge
+    # — with slabs iterated on-device (dist/sharded.py virtual slabs), so
+    # one chip can execute and validate the config-#5 program at chr1
+    # scale. On a real multi-device mesh the value must equal the device
+    # count (slabs ride devices there).
+    shard_slabs: int | None = None
 
     def __post_init__(self) -> None:
         if self.min_length < 1:
             raise ValueError(f"min_length must be >= 1, got {self.min_length}")
+        if self.shard_slabs is not None and self.shard_slabs < 1:
+            raise ValueError(
+                f"shard_slabs must be >= 1, got {self.shard_slabs}")
         if not 1 <= self.seed_length_cap <= 32:
             raise ValueError("seed_length_cap must be in [1, 32] (2-bit packing "
                              f"into two uint32 words), got {self.seed_length_cap}")

@@ -33,8 +33,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from slamem_tpu.config import Config
 from slamem_tpu.engine import seed_mode
 from slamem_tpu.engine.seed_mode import (
-    RunBatch, SeedMatches, _bucket_intervals, _join_intervals,
-    prefer_bucket, sampled_query_keys, seed_table)
+    RunBatch, SeedMatches, _bracket_refine, _bucket_intervals,
+    _join_intervals, prefer_bucket, sampled_query_keys, seed_table)
 from slamem_tpu.index.build import FMIndex
 
 try:
@@ -257,17 +257,307 @@ def sharded_expand_runs(mesh: Mesh, sa_sh, lo_sh, w_sh, start, limit,
     return fn(sa_sh, lo_sh, w_sh, start, limit, m_off)
 
 
+# ---------------------------------------------------------------------------
+# Virtual slabs: the multi-slab program on ONE device (VERDICT r4 #1)
+# ---------------------------------------------------------------------------
+#
+# Config #5 says "sharded index"; a sandbox with one real chip could never
+# execute the actual multi-slab program at chr1 scale when slab count was
+# welded to device count. The functions below decouple them: the SAME
+# per-slab program — slab-local frontend tables, per-slab interval search,
+# per-slab expansion + run compaction, host merge — with the slab axis
+# iterated sequentially on one device (lax.map) instead of spread over a
+# mesh. Every per-slab computation consumes only slab-owned data, so the
+# program is the distributed one modulo placement.
+#
+# Slab frontend tables are RANGE-RESTRICTED direct bucket tables: a slab of
+# the globally sorted K-mer table spans a contiguous prefix range
+# [base_i, base_i + R), so its direct-addressed table needs only R+1
+# entries (base_i subtracted at lookup) — across slabs the tables tile the
+# prefix space and total ~4 * 2^bbits bytes REGARDLESS of slab count,
+# instead of n_slabs full-domain copies (8.6 GB at chr1's K=14). Each
+# table is built from its slab's rows alone, exactly what a real shard
+# would hold.
+
+_virtual_tables_cache = DevCache("virtual_slab_tables")
+
+
+def virtual_slab_tables(index: FMIndex, k: int, n_slabs: int,
+                        max_table_bytes: int = 3 << 30):
+    """Per-slab tables for the single-device multi-slab engine.
+
+    Returns (refk_p, sa_p, starts_st, bases, shift, probes, slab):
+    refk_p/sa_p are the flat padded word/SA tables (slab i = rows
+    [i*slab, (i+1)*slab)); starts_st is (n_slabs, R+1) ranged bucket
+    starts with per-slab base prefixes `bases`. shift/probes as in
+    bucket_table; probes == 0 means per-slab direct addressing.
+    """
+    key = (id(index.sa), k, n_slabs)
+    hit = _virtual_tables_cache.get(key, index.sa)
+    if hit is not None:
+        return hit
+    refk_words, sa_aug = seed_table(index, k)
+    n = index.n
+    slab = -(-n // n_slabs)
+    pad = slab * n_slabs - n
+    if pad:
+        # dtype-max padding sorts after every real row and carries the
+        # sign-bit-invalid sa flag — expansion drops it (same contract as
+        # the mesh tables)
+        refk_p = tuple(jnp.concatenate(
+            [w, jnp.full((pad,), jnp.iinfo(w.dtype).max, w.dtype)])
+            for w in refk_words)
+        sa_p = jnp.concatenate(
+            [sa_aug, jnp.full((pad,), np.int32(-0x80000000), jnp.int32)])
+    else:
+        refk_p, sa_p = refk_words, sa_aug
+    word0_bits = 2 * min(k, 16)
+    # first/last REAL word-0 key per slab (2*n_slabs scalars, one fetch):
+    # a slab's prefix range under any shift follows on the host
+    firsts = np.arange(n_slabs, dtype=np.int64) * slab
+    lasts = np.minimum(firsts + slab, n) - 1
+    k0 = np.asarray(refk_words[0][jnp.asarray(
+        np.concatenate([firsts, lasts]).astype(np.int32))]).astype(np.uint64)
+    kf, kl = k0[:n_slabs], k0[n_slabs:]
+    s = max(0, word0_bits - 28)   # same 28-bit direct ceiling as bucket_table
+    while True:
+        span = int(((kl >> s) - (kf >> s)).max()) + 2
+        R = 2
+        while R < span:
+            R <<= 1
+        if n_slabs * (R + 1) * 4 <= max_table_bytes or (word0_bits - s) <= 16:
+            break
+        s += 1   # skewed key space: coarsen buckets until the budget holds
+    bases = jnp.asarray((kf >> s).astype(np.uint32))
+    starts_st, maxb = _virtual_bucket_tables(refk_p[0], bases, n_slabs, slab,
+                                             R, s)
+    if len(refk_p) == 1 and s == 0:
+        probes = 0
+    else:
+        probes = max(1, int(np.ceil(np.log2(
+            max(int(np.asarray(maxb)), 2)))) + 1)
+    tables = (refk_p, sa_p, starts_st, bases, s, probes, slab)
+    return _virtual_tables_cache.put(key, index.sa, tables)
+
+
+@functools.partial(jax.jit, static_argnames=("n_slabs", "slab", "R", "shift"))
+def _virtual_bucket_tables(refk0_p: jax.Array, bases: jax.Array,
+                           n_slabs: int, slab: int, R: int, shift: int):
+    """Ranged per-slab bucket starts (scatter-min + reverse cummin per slab,
+    slabs iterated with lax.map so one slab's temporaries are live at a
+    time) + the global max bucket width."""
+
+    def one(args):
+        i, base = args
+        w = jax.lax.dynamic_slice_in_dim(refk0_p, i * slab, slab)
+        pref = jax.lax.shift_right_logical(w, jnp.asarray(shift, w.dtype))
+        # real rows satisfy pref >= base (slab ascending); pad rows
+        # (dtype-max) clamp into the last bucket where invalid sa drops them
+        loc = jnp.minimum(pref - base, jnp.asarray(R - 1, w.dtype)
+                          ).astype(jnp.int32)
+        starts = jnp.full((R + 1,), slab, jnp.int32).at[loc].min(
+            jnp.arange(slab, dtype=jnp.int32))
+        starts = jax.lax.cummin(starts, reverse=True)
+        return starts, jnp.max(starts[1:] - starts[:-1])
+
+    starts, maxb = jax.lax.map(
+        one, (jnp.arange(n_slabs, dtype=jnp.int32), bases))
+    return starts, jnp.max(maxb)
+
+
+@functools.partial(jax.jit, static_argnames=("n_slabs", "slab", "k", "shift",
+                                             "probes", "stride"))
+def virtual_frontend(refk_p, starts_st: jax.Array, bases: jax.Array,
+                     qt: jax.Array, n_slabs: int, slab: int, k: int,
+                     shift: int, probes: int, stride: int = 1):
+    """sharded_frontend's contract on one device: per-slab local intervals
+    for every sampled query position, slabs iterated with lax.map.
+
+    Returns (lo [n_slabs, m_s], width [n_slabs, m_s], cum [m_s] int64,
+    summary [2] int64) with cum/summary over the per-position WORST-slab
+    width — the same planning bound the mesh frontend pmax-reduces.
+    """
+    qk_w, qvalid = sampled_query_keys(qt, k, stride)
+    R = int(starts_st.shape[1]) - 1
+    bq = jax.lax.shift_right_logical(qk_w[0],
+                                     jnp.asarray(shift, qk_w[0].dtype))
+
+    def one(args):
+        i, starts, base = args
+        # uint32 wrap does the range test in one compare: bq < base wraps
+        # huge and fails < R exactly like bq >= base + R
+        d = bq - base
+        inr = d < jnp.asarray(R, d.dtype)
+        b_loc = jnp.minimum(d, jnp.asarray(R - 1, d.dtype)).astype(jnp.int32)
+        pair = jax.vmap(
+            lambda j: jax.lax.dynamic_slice(starts, (j,), (2,)))(b_loc)
+        lo0, hi0 = pair[:, 0], pair[:, 1]
+        valid = qvalid & inr
+        if probes == 0:
+            return lo0, jnp.where(valid, hi0 - lo0, 0).astype(jnp.int32)
+        refk_l = tuple(jax.lax.dynamic_slice_in_dim(w, i * slab, slab)
+                       for w in refk_p)
+        left, right = _bracket_refine(refk_l, qk_w, lo0, hi0, probes)
+        return (left.astype(jnp.int32),
+                jnp.where(valid, right - left, 0).astype(jnp.int32))
+
+    lo, w = jax.lax.map(
+        one, (jnp.arange(n_slabs, dtype=jnp.int32), starts_st, bases))
+    wmax = jnp.max(w, axis=0)
+    cum = jnp.cumsum(wmax.astype(jnp.int64))
+    summary = jnp.stack([cum[-1], jnp.max(wmax).astype(jnp.int64)])
+    return lo, w, cum, summary
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_slabs", "slab", "capacity",
+                                    "run_capacity", "block", "stride"))
+def virtual_expand_runs(sa_p, lo_st, w_st, start, limit, m_off,
+                        n_slabs: int, slab: int, capacity: int,
+                        run_capacity: int, block: int, stride: int = 1):
+    """sharded_expand_runs on one device: per-slab expansion + on-device
+    run compaction, slabs iterated with lax.map (one slab's capacity-wide
+    temporaries live at a time)."""
+    from slamem_tpu.engine.seed_mode import (_block_slices,
+                                             _compact_pair_runs,
+                                             _expand_pairs_core)
+
+    def one(args):
+        i, lo_l, w_l = args
+        sa_l = jax.lax.dynamic_slice_in_dim(sa_p, i * slab, slab)
+        lo_b, w_b, q_start = _block_slices(lo_l, w_l, start, limit, block)
+        d_s, q_s = _expand_pairs_core(sa_l, lo_b, w_b, q_start, m_off,
+                                      capacity, stride)
+        return _compact_pair_runs(d_s, q_s, run_capacity)
+
+    return jax.lax.map(
+        one, (jnp.arange(n_slabs, dtype=jnp.int32), lo_st, w_st))
+
+
+@functools.partial(jax.jit, static_argnames=("n_slabs", "slab", "capacity",
+                                             "block", "stride"))
+def virtual_expand_pairs(sa_p, lo_st, w_st, start, limit, m_off,
+                         n_slabs: int, slab: int, capacity: int, block: int,
+                         stride: int = 1):
+    """Raw sorted pairs per slab (run-capacity overflow fallback)."""
+    from slamem_tpu.engine.seed_mode import (_block_slices,
+                                             _expand_pairs_core)
+
+    def one(args):
+        i, lo_l, w_l = args
+        sa_l = jax.lax.dynamic_slice_in_dim(sa_p, i * slab, slab)
+        lo_b, w_b, q_start = _block_slices(lo_l, w_l, start, limit, block)
+        return _expand_pairs_core(sa_l, lo_b, w_b, q_start, m_off,
+                                  capacity, stride)
+
+    return jax.lax.map(
+        one, (jnp.arange(n_slabs, dtype=jnp.int32), lo_st, w_st))
+
+
+def _find_seed_matches_virtual(index: FMIndex, query_text: np.ndarray,
+                               cfg: Config, n_slabs: int) -> SeedMatches:
+    """The true multi-slab program on one device (driver).
+
+    Mirrors find_seed_matches_sharded's mesh driver stage for stage:
+    frontend summary -> worst-slab capacity plan -> per-block per-slab run
+    triples -> host merge (merge_runs reassembles runs crossing slab or
+    block boundaries) -> strided extension/finalize. Exactness argument is
+    the mesh path's verbatim: pairs are partitioned by SA row across slabs,
+    and merge_runs collapses any partition of a run's sample indices.
+    """
+    qp, qt = seed_mode.query_to_device(query_text)
+    m = int(qp.shape[0])
+    k, stride, _sparse = seed_mode.choose_seed_plan(index.n, m, cfg)
+    refk_p, sa_p, starts_st, bases, shift, probes, slab = \
+        virtual_slab_tables(index, k, n_slabs)
+    lo_st, w_st, cum, summary = virtual_frontend(
+        refk_p, starts_st, bases, qt, n_slabs, slab, k, shift, probes,
+        stride)
+    capacity = int(cfg.pair_capacity)
+    summary_h = np.asarray(summary)
+    if capacity >= seed_mode._GROWTH_MIN_CAPACITY:
+        capacity = seed_mode.capacity_bucket(
+            int(summary_h[0]) + int(summary_h[1]), 1 << 18,
+            max(capacity, int(cfg.pair_capacity_max)))
+    m_s = int(lo_st.shape[1])
+    block = min(cfg.position_block, m_s)
+    blocks = seed_mode.plan_blocks_on_device(cum, summary_h, capacity,
+                                             block, m_s)
+    diag_mod = (np.int64(m + block + 2) if stride == 1
+                else np.int64((m_s + block + 2) * stride + 2))
+    m_off = int(diag_mod) // 2
+    zpad = jnp.zeros((n_slabs, block), jnp.int32)
+    lo_ext = jnp.concatenate([lo_st, zpad], axis=1)
+    w_ext = jnp.concatenate([w_st, zpad], axis=1)
+    m_off32 = jnp.asarray(m_off, jnp.int32)
+    run_cap = max(4096, capacity // 16)
+    batches: list[RunBatch] = []
+    true_pairs = 0
+    for start, end in blocks:
+        st = jnp.asarray(start, jnp.int64)
+        en = jnp.asarray(end, jnp.int64)
+        run_d, run_qs, run_qe, n_runs, n_pairs = virtual_expand_runs(
+            sa_p, lo_ext, w_ext, st, en, m_off32, n_slabs, slab, capacity,
+            run_cap, block, stride)
+        n_runs_h = np.asarray(n_runs)
+        run_d_h = np.asarray(run_d)
+        run_qs_h = np.asarray(run_qs)
+        run_qe_h = np.asarray(run_qe)
+        true_pairs += int(np.asarray(n_pairs).sum())
+        overflow = [i for i in range(n_slabs)
+                    if int(n_runs_h[i]) > run_cap]
+        if overflow:
+            d_all, q_all = virtual_expand_pairs(
+                sa_p, lo_ext, w_ext, st, en, m_off32, n_slabs, slab,
+                capacity, block, stride)
+            d_of = np.asarray(d_all)
+            q_of = np.asarray(q_all)
+        for i in range(n_slabs):
+            if i in overflow:
+                batches.append(seed_mode.runs_from_sorted_pairs(
+                    d_of[i], q_of[i], m_off))
+            else:
+                batches.append(seed_mode.runs_from_compacted32(
+                    run_d_h[i], run_qs_h[i], run_qe_h[i],
+                    int(n_runs_h[i]), m_off))
+    if stride != 1:
+        matches = seed_mode._finalize_strided(
+            batches, qt, seed_mode.ext_table(index), k, stride, cfg)
+    else:
+        matches = seed_mode.finalize_matches(batches, k, cfg)
+    matches.stats = {"pairs": true_pairs, "k": k, "rounds": len(blocks),
+                     "stride": stride, "shards": n_slabs,
+                     "virtual_slabs": True,
+                     "bytes_min": seed_mode.roofline_bytes(
+                         index.n, m, len(refk_p), true_pairs,
+                         bucket=True, stride=stride, probes=probes)}
+    return matches
+
+
 def find_seed_matches_sharded(index: FMIndex, query_text: np.ndarray,
-                              cfg: Config, mesh: Mesh) -> SeedMatches:
+                              cfg: Config, mesh: Mesh | None,
+                              n_slabs: int | None = None) -> SeedMatches:
     """Seed engine over an SA-rank-sharded index, all modes.
 
-    MEM streams device-compacted run triples per shard; MUM/MAM additionally
-    fetch each shard's raw pair block (bounded by capacity) because the
-    occurrence counts need per-pair extents — acceptable for the
-    bacterial-scale configs those modes serve (SURVEY.md §3.4), and the pair
-    tables stay sharded until the single bounded fetch.
+    MEM streams device-compacted run triples per shard; MUM/MAM uniqueness
+    is a containment filter over the merged match set (apply_mode_filter),
+    applied by callers — no per-pair fetch.
+
+    ``n_slabs`` decouples slab count from device count (VERDICT r4 #1): on
+    a single device, n_slabs > 1 runs the true multi-slab program with
+    slabs iterated on-device (virtual slabs); on a real mesh the slab
+    layout is one per device and n_slabs, if given, must match.
     """
-    if len(mesh.devices.flat) == 1:
+    ndev = len(mesh.devices.flat) if mesh is not None else 1
+    if ndev > 1:
+        if n_slabs is not None and n_slabs != ndev:
+            raise ValueError(
+                f"on a {ndev}-device mesh slabs ride devices; "
+                f"n_slabs={n_slabs} must equal the device count (or use a "
+                "single device for virtual slabs)")
+    elif n_slabs is not None and n_slabs > 1:
+        return _find_seed_matches_virtual(index, query_text, cfg, n_slabs)
+    if ndev == 1:
         # a 1-slab index IS the replicated index: the slab view is the whole
         # table and every per-shard dispatch, fetch and host merge is pure
         # overhead (measured 5.6 s vs 1.8 s at the chr1-scale rehearsal).

@@ -45,10 +45,12 @@ class EngineOutput:
 def _search_one(index: FMIndex, qcodes: np.ndarray, cfg: Config,
                 mesh=None) -> seed_mode.SeedMatches:
     if cfg.engine == "seed":
-        if cfg.shard_index and mesh is not None:
+        if cfg.shard_index and (mesh is not None
+                                or (cfg.shard_slabs or 1) > 1):
             from slamem_tpu.dist.sharded import find_seed_matches_sharded
 
-            matches = find_seed_matches_sharded(index, qcodes, cfg, mesh)
+            matches = find_seed_matches_sharded(index, qcodes, cfg, mesh,
+                                                n_slabs=cfg.shard_slabs)
         else:
             matches = seed_mode.find_seed_matches(index, qcodes, cfg,
                                                   mesh=mesh)

@@ -447,6 +447,21 @@ def _bucket_intervals(refk, starts: jax.Array, qk,
         width = jnp.where(qvalid, hi0 - lo0, 0).astype(jnp.int32)
         return lo0.astype(jnp.int32), width
 
+    left, right = _bracket_refine(refk_w, qk_w, lo0, hi0, probes)
+    width = jnp.where(qvalid, right - left, 0).astype(jnp.int32)
+    return left.astype(jnp.int32), width
+
+
+def _bracket_refine(refk_w: tuple, qk_w: tuple, lo0: jax.Array,
+                    hi0: jax.Array, probes: int):
+    """Bounded binary refinement of a bucket bracket to the exact interval.
+
+    Shared by the replicated bucket frontend and the per-slab (virtual and
+    mesh) sharded frontends — the search itself is frontend-agnostic: any
+    sorted word table + bracketing bounds.
+    """
+    n = refk_w[0].shape[0]
+
     def search(side_left):
         cmp = _lex_lt if side_left else _lex_le
 
@@ -465,10 +480,7 @@ def _bucket_intervals(refk, starts: jax.Array, qk,
 
         return jax.lax.fori_loop(0, probes, body, (lo0, hi0))[0]
 
-    left = search(True)
-    right = search(False)
-    width = jnp.where(qvalid, right - left, 0).astype(jnp.int32)
-    return left.astype(jnp.int32), width
+    return search(True), search(False)
 
 
 def augment_sa(sa: jax.Array, rowvalid: jax.Array) -> jax.Array:

@@ -129,3 +129,72 @@ def test_sharded_one_device_delegates_to_fused():
     ta = sorted(zip(a.refpos.tolist(), a.qpos.tolist(), a.length.tolist()))
     tb = sorted(zip(b.refpos.tolist(), b.qpos.tolist(), b.length.tolist()))
     assert ta == tb and len(ta) > 0
+
+
+# ---------------------------------------------------------------------------
+# Virtual slabs: the multi-slab program on ONE device (VERDICT r4 #1)
+# ---------------------------------------------------------------------------
+
+def test_virtual_slabs_equal_replicated():
+    """n_slabs > 1 on a single device: per-slab ranged tables + slab
+    frontends + merge must reproduce the replicated match set exactly,
+    across slab counts that do and do not divide n."""
+    ref = with_n_runs(random_genome(64_000, seed=181), 2, 60, seed=182)
+    qry = with_n_runs(mutate(ref, 0.02, 0.002, seed=183), 2, 40, seed=184)
+    idx = build_index(ref)
+    want = None
+    for n_slabs in (2, 3, 8):
+        cfg = Config(min_length=14)
+        m = find_seed_matches_sharded(idx, qry, cfg, None, n_slabs=n_slabs)
+        got = tuples(m)
+        if want is None:
+            want = tuples(find_seed_matches(idx, qry, cfg))
+        assert got == want and len(want) > 0
+        assert m.stats["shards"] == n_slabs
+        assert m.stats["virtual_slabs"] is True
+        assert m.stats["pairs"] > 0
+
+
+def test_virtual_slabs_equal_mesh_sharded():
+    """8 virtual slabs on one device == 8 mesh slabs on the fake mesh
+    (same program, different placement), run-capacity overflow included."""
+    ref = with_n_runs(random_genome(8_000, seed=281), 2, 40, seed=282)
+    qry = with_n_runs(mutate(ref, 0.02, 0.002, seed=283), 2, 30, seed=284)
+    idx = build_index(ref)
+    mesh = make_mesh(8)
+    cfg = Config(min_length=14, pair_capacity=512)  # forces multi-round
+    got_v = tuples(find_seed_matches_sharded(idx, qry, cfg, None, n_slabs=8))
+    got_m = tuples(find_seed_matches_sharded(idx, qry, cfg, mesh))
+    assert got_v == got_m and len(got_m) > 0
+
+
+def test_virtual_slabs_modes_and_deep_minlen():
+    """MUM/MAM containment filter and the deep-minlen strided extension run
+    unchanged over virtually-sharded match sets."""
+    from slamem_tpu.engine.seed_mode import apply_mode_filter
+
+    ref = random_genome(30_000, seed=381)
+    qry = mutate(ref, 0.01, 0.001, seed=382)
+    idx = build_index(ref)
+    for minlen in (14, 40):
+        for mode in (MatchMode.MEM, MatchMode.MUM, MatchMode.MAM):
+            cfg = Config(min_length=minlen, mode=mode)
+            want = tuples(apply_mode_filter(
+                find_seed_matches(idx, qry, cfg), cfg))
+            got = tuples(apply_mode_filter(
+                find_seed_matches_sharded(idx, qry, cfg, None, n_slabs=4),
+                cfg))
+            assert got == want
+            if mode is MatchMode.MEM:
+                assert len(want) > 0
+
+
+def test_virtual_slabs_mesh_mismatch_raises():
+    import pytest
+
+    ref = random_genome(4000, seed=481)
+    idx = build_index(ref)
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError, match="must equal the device count"):
+        find_seed_matches_sharded(idx, ref[:1000], Config(min_length=14),
+                                  mesh, n_slabs=4)
