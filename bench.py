@@ -216,14 +216,24 @@ def run_config2_bench(size: int = 5_000_000, strains: int = 10,
 
 
 def run_chr1_bench(size: int = 250_000_000, query_bp: int = 50_000_000,
-                   minlen: int = 50, repeats: int = 5) -> dict:
-    """BASELINE config #5 stand-in: chr1-scale pair (250 Mbp reference,
-    50 Mbp query slice, dissimilar-genome mutation rates). On one chip the
-    sharded path delegates to the fused replicated engine (DESIGN.md §5c);
-    multi-chip slab sharding is exercised on the fake mesh in tests."""
+                   minlen: int = 50, repeats: int = 5,
+                   n_slabs: int = 8) -> dict:
+    """BASELINE config #5: chr1-scale pair (250 Mbp reference, 50 Mbp query
+    slice, dissimilar-genome mutation rates), BOTH engine shapes on the one
+    real chip:
+
+    * replicated fused engine (the fastest single-chip program, DESIGN §5c);
+    * the TRUE multi-slab sharded program (VERDICT r4 #1) — per-slab ranged
+      tables, slab frontends, per-slab expansion, host merge — with
+      ``n_slabs`` slabs iterated on-device (dist/sharded.py virtual slabs),
+      sharing this scenario's index build. Its row lands in BENCH_DETAIL as
+      chr1_sharded_250mbp_l50 with a matches count that must equal the
+      replicated row's.
+    """
     import jax
 
     from slamem_tpu.config import Config
+    from slamem_tpu.dist.sharded import find_seed_matches_sharded
     from slamem_tpu.engine import seed_mode as sm
     from slamem_tpu.index.build import build_index
     from slamem_tpu.utils.synth import strain_pair
@@ -259,7 +269,119 @@ def run_chr1_bench(size: int = 250_000_000, query_bp: int = 50_000_000,
     if m.stats:
         res.update(pairs=m.stats["pairs"], seed_k=m.stats["k"],
                    stride=m.stats.get("stride", 1))
+
+    if n_slabs and n_slabs > 1 and time_left() > 120:
+        hb(f"chr1: sharded program ({n_slabs} slabs on one chip)")
+        sh_state = {}
+
+        def sh_call():
+            sh_state["m"] = find_seed_matches_sharded(index, qry, cfg, None,
+                                                      n_slabs=n_slabs)
+        ts = []
+        for i in range(max(2, min(repeats, 3))):
+            t0 = time.perf_counter()
+            sh_call()
+            ts.append(time.perf_counter() - t0)
+            hb(f"chr1 sharded: call {i} {ts[-1]:.3f}s")
+            if time_left() < 2 * ts[-1]:
+                break
+        dt_sh = min(ts[1:]) if len(ts) > 1 else ts[0]
+        ms = sh_state["m"]
+        res["sharded"] = {
+            "mbp_per_s": len(qry) / 1e6 / dt_sh,
+            "query_s": dt_sh,
+            "n_slabs": n_slabs,
+            "matches": int(ms.length.size),
+            "matches_equal_replicated":
+                int(ms.length.size) == int(m.length.size),
+            "pairs": ms.stats.get("pairs") if ms.stats else None,
+            "query_bp": len(qry),
+            "device": str(jax.devices()[0]),
+        }
     return res
+
+
+def run_throughput_bench(size: int = 5_000_000, strains: int = 10,
+                         minlen: int = 20, repeats: int = 4) -> dict:
+    """Throughput serving mode as a first-class headline (VERDICT r4 #6).
+
+    Joining policy (run_engine, DESIGN.md §9): when a request carries
+    multiple query sequences (multi-FASTA, several query files, or -b),
+    every (sequence, strand) entry concatenates into ONE separator-joined
+    text and the engine runs ONE fused dispatch for the whole request —
+    the fixed per-dispatch terms (tunnel turnaround, wire, host decode)
+    amortize over the aggregate Mbp instead of recurring per query. This
+    scenario drives 10 x 5 Mbp strains (50 Mbp aggregate) at -l 20 and
+    reports aggregate Mbp/s, both memoized-repeat and one-shot (fresh
+    FastaSet: join + pack + upload included).
+    """
+    import jax
+
+    from slamem_tpu.config import Config
+    from slamem_tpu.engine.run import run_engine
+    from slamem_tpu.index.build import build_index
+    from slamem_tpu.io.fasta import FastaSet, Sequence
+    from slamem_tpu.utils.synth import mutate
+
+    import numpy as np
+
+    ref, _ = build_inputs(size)
+    seqs = [Sequence(f"strain{j}", mutate(ref, 0.01 + 0.001 * j, 0.001,
+                                          seed=300 + j))
+            for j in range(strains)]
+
+    def make_query_set():
+        lengths = np.array([len(s.codes) for s in seqs], dtype=np.int64)
+        return FastaSet(
+            names=[s.name for s in seqs],
+            starts=np.concatenate(([0], np.cumsum(lengths)[:-1])),
+            lengths=lengths,
+            codes=np.concatenate([s.codes for s in seqs]))
+
+    ref_set = FastaSet(names=["ref"], starts=np.zeros(1, np.int64),
+                       lengths=np.array([len(ref)], np.int64), codes=ref)
+    qry_set = make_query_set()
+    cfg = Config(min_length=minlen)
+    rtext, _ = ref_set.with_separators()
+    hb("throughput: index build")
+    index = build_index(rtext, cfg.occ_block)
+    jax.block_until_ready(index.sa)
+    state = {}
+
+    def call():
+        state["out"] = run_engine(ref_set, qry_set, cfg, index=index)
+
+    for i in range(2):   # two-call convergence warmup (see run_config2_bench)
+        t0 = time.perf_counter()
+        call()
+        hb(f"throughput: warmup {i} {time.perf_counter() - t0:.3f}s")
+    times = []
+    for _ in range(repeats):
+        if times and time_left() < 2 * times[-1]:
+            break
+        t0 = time.perf_counter()
+        call()
+        times.append(time.perf_counter() - t0)
+    dt = min(times) if times else float("nan")
+    # one-shot: a FRESH request object pays join + 2-bit pack + upload
+    fresh = make_query_set()
+    t0 = time.perf_counter()
+    out_fresh = run_engine(ref_set, fresh, cfg, index=index)
+    dt_one = time.perf_counter() - t0
+    out = state["out"]
+    qbp = int(sum(len(s.codes) for s in seqs))
+    matches = int(sum(qm.length.size for qm in out.per_query))
+    assert matches == int(sum(qm.length.size for qm in out_fresh.per_query))
+    return {
+        "mbp_per_s": qbp / 1e6 / dt,
+        "one_shot_mbp_per_s": qbp / 1e6 / dt_one,
+        "query_s": dt,
+        "one_shot_s": dt_one,
+        "query_bp": qbp,
+        "strains": strains,
+        "matches": matches,
+        "device": str(jax.devices()[0]),
+    }
 
 
 def run_mam_bench(size: int = 5_000_000, minlen: int = 20,
@@ -472,7 +594,6 @@ def run_rank_bench(size: int = 5_000_000, batch: int = 1 << 22,
     jax.block_until_ready(index.sa)
     rows_n = nibble_rows(index)
     rows_w = nibble_rows(index, 512)   # 2 KB rows: the bandwidth point
-    rows_4k = nibble_rows(index, 1024)  # 4 KB rows: latency-flatness probe
     rows_b = interleaved_rows(index)
     rng = np.random.default_rng(20260817)
     chars = jnp.asarray(rng.integers(0, 4, size=batch).astype(np.int32))
@@ -488,13 +609,16 @@ def run_rank_bench(size: int = 5_000_000, batch: int = 1 << 22,
     got_w = np.asarray(rank_rows_nib(rows_w, chars[:nv], pos[:nv]))
     equal = bool(np.array_equal(want, got) and np.array_equal(want, got_w))
 
+    # nibble_4kb was dropped from the artifact variants (VERDICT r4 weak
+    # #5): it never produced a committed number here (r3 OOM, r4 remote-
+    # compile 500) and rankc_sweep.log already records the honest 4 KB
+    # point (66.3 GB/s on a 128 Mbp working set) — a permanently-errored
+    # redundant key is worse than no key.
     variants = {
         "nibble_swar": (512, jax.jit(
             lambda c, p: rank_rows_nib(rows_n, c, p).sum(dtype=jnp.int64))),
         "nibble_2kb": (2048, jax.jit(
             lambda c, p: rank_rows_nib(rows_w, c, p).sum(dtype=jnp.int64))),
-        "nibble_4kb": (4096, jax.jit(
-            lambda c, p: rank_rows_nib(rows_4k, c, p).sum(dtype=jnp.int64))),
         "byte_unpack": (512, jax.jit(
             lambda c, p: rank_rows_xla(rows_b, c, p).sum(dtype=jnp.int64))),
         "pallas_dma": (512, jax.jit(
@@ -509,8 +633,16 @@ def run_rank_bench(size: int = 5_000_000, batch: int = 1 << 22,
         try:
             np.asarray(fn(c_in, p_in))  # compile + warm
         except Exception as e:  # e.g. Pallas compiled mode off-TPU
-            out[name + "_error"] = str(e)[:120]
-            continue
+            if classify_error(str(e)) == "environmental":
+                hb(f"rank: {name} environmental error, retrying once")
+                try:
+                    np.asarray(fn(c_in, p_in))
+                except Exception as e2:
+                    out[name + "_error"] = str(e2)[:120]
+                    continue
+            else:
+                out[name + "_error"] = str(e)[:120]
+                continue
         times = []
         for _ in range(repeats):
             t0 = time.perf_counter()
@@ -521,7 +653,6 @@ def run_rank_bench(size: int = 5_000_000, batch: int = 1 << 22,
         out[name + "_gb_per_s"] = batch * row_bytes / min(times) / 1e9
         hb(f"rank: {name} {out[name + '_gb_per_s']:.1f} GB/s")
     gbps = max(out.get("nibble_2kb_gb_per_s", 0.0),
-               out.get("nibble_4kb_gb_per_s", 0.0),
                out.get("nibble_2kb_sorted_gb_per_s", 0.0),
                out.get("nibble_swar_gb_per_s", 0.0))
     return {
@@ -534,18 +665,84 @@ def run_rank_bench(size: int = 5_000_000, batch: int = 1 << 22,
     }
 
 
-def emit_headline(res: dict) -> None:
+_ENVIRONMENTAL_PATTERNS = (
+    "HTTP 5", "UNAVAILABLE", "DEADLINE", "tunnel", "tpu_compile_helper",
+    "subprocess exit", "Connection", "connection", "Socket", "socket",
+    "ABORTED", "failed to connect", "Broken pipe",
+)
+
+
+def classify_error(msg: str) -> str:
+    """'environmental' (tunnel/remote-compile/transport — retryable, not an
+    engine defect) vs 'engine' (everything else). VERDICT r4 weak #2: the
+    r4 artifact shipped an HTTP-500 remote-compile failure silently counted
+    as zero errors; classification makes the distinction recordable."""
+    return ("environmental"
+            if any(p in msg for p in _ENVIRONMENTAL_PATTERNS) else "engine")
+
+
+COLDRUNS_FILE = os.path.join(HERE, "BENCH_COLDRUNS.log")
+
+
+def coldrun_stats(values_with_current: list[float]) -> dict:
+    import statistics
+
+    v = sorted(values_with_current)
+    return {"n": len(v), "median": round(statistics.median(v), 2),
+            "min": round(v[0], 2), "max": round(v[-1], 2)}
+
+
+def _recent_coldruns(limit: int = 20) -> list[float]:
+    """Parse the trailing headline values out of BENCH_COLDRUNS.log."""
+    vals: list[float] = []
+    try:
+        with open(COLDRUNS_FILE) as f:
+            for line in f:
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if (rec.get("metric") == "query_mbp_per_s_per_chip"
+                        and isinstance(rec.get("value"), (int, float))):
+                    vals.append(float(rec["value"]))
+    except OSError:
+        pass
+    return vals[-limit:]
+
+
+def emit_headline(res: dict, official: bool = True) -> None:
     vs = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             base = json.load(f)["cpu_single_thread_mbp_per_s"]
         vs = res["mbp_per_s"] / base if base > 0 else None
-    print(json.dumps({
+    payload = {
         "metric": "query_mbp_per_s_per_chip",
         "value": round(res["mbp_per_s"], 3),
         "unit": "Mbp/s",
         "vs_baseline": round(vs, 3) if vs is not None else None,
-    }), flush=True)
+    }
+    # the official number is a DISTRIBUTION, not one draw (VERDICT r4 #5):
+    # cold runs vary +-14% with tunnel jitter, so every official
+    # TPU-headline run appends itself to BENCH_COLDRUNS.log and the
+    # headline line carries {median, min, max, n} over the recent committed
+    # cold runs + this one. Non-headline shapes (--quick/--chr21/--size)
+    # and CPU runs never pollute the distribution.
+    if official and res.get("platform") not in (None, "cpu"):
+        prior = _recent_coldruns()
+        payload["cold_runs"] = coldrun_stats(prior + [payload["value"]])
+        try:
+            with open(COLDRUNS_FILE, "a") as f:
+                f.write(f"## auto-appended by bench.py "
+                        f"(unix {int(time.time())}, "
+                        f"platform {res.get('platform', '?')})\n")
+                f.write(json.dumps(payload) + "\n")
+        except OSError:
+            pass
+    print(json.dumps(payload), flush=True)
 
 
 def main() -> int:
@@ -589,40 +786,77 @@ def main() -> int:
 
     if "--all" in argv:
         # record every scenario (headline config #1, multi-strain config #2,
-        # MAM config #3, chr21 config #4, chr1-scale config #5, rank kernel,
-        # stage budget) into BENCH_DETAIL.json; stdout still gets ONE line
-        # (the headline). Scenarios are isolated: device caches are cleared
-        # between them so chr1's multi-GB tables never OOM a later scenario
-        # (VERDICT r3 missing #3).
+        # MAM config #3, chr21 config #4, chr1-scale config #5 replicated +
+        # TRUE sharded, throughput mode, rank kernel, stage budget) into
+        # BENCH_DETAIL.json; stdout still gets ONE line (the headline).
+        # Scenarios are isolated: device caches are cleared between them so
+        # chr1's multi-GB tables never OOM a later scenario (VERDICT r3
+        # missing #3). Errors are CLASSIFIED (VERDICT r4 #2b): tunnel/
+        # remote-compile failures are environmental and retried once; the
+        # artifact carries a top-level `errors` summary a commit message
+        # can honestly quote (empty == genuinely zero errors, including
+        # per-variant sub-errors like the rank kernel's).
         import gc
         import subprocess
 
         from slamem_tpu.utils.devcache import clear_device_caches
 
-        def isolated(fn, *a, **kw):
-            clear_device_caches()
-            gc.collect()
-            try:
-                return fn(*a, **kw)
-            except Exception as e:  # no scenario may mask the headline
-                return {"error": str(e)[:300]}
+        errors: list[dict] = []
 
-        detail = {"headline_5mbp_l20": isolated(run_bench, SIZE, MINLEN)}
+        def isolated(name, fn, *a, **kw):
+            for attempt in (0, 1):
+                clear_device_caches()
+                gc.collect()
+                try:
+                    return fn(*a, **kw)
+                except Exception as e:
+                    cls = classify_error(str(e))
+                    hb(f"scenario {name}: {cls} error"
+                       f"{' (retrying)' if cls == 'environmental' and not attempt else ''}"
+                       f": {str(e)[:160]}")
+                    if cls == "environmental" and attempt == 0 \
+                            and time_left() > 60:
+                        continue
+                    errors.append({"scenario": name, "class": cls,
+                                   "error": str(e)[:300]})
+                    return {"error": str(e)[:300], "error_class": cls,
+                            "retried": attempt > 0}
+
+        detail = {"headline_5mbp_l20": isolated("headline", run_bench,
+                                                SIZE, MINLEN)}
         for key, fn, a in (
                 ("chr21_40mbp_l50", run_bench, (40_000_000, 50)),
                 ("config2_10strains_l30", run_config2_bench, ()),
                 ("config3_mam_l20", run_mam_bench, ()),
+                ("throughput_50mbp_l20", run_throughput_bench, ()),
                 ("rank_kernel", run_rank_bench, ()),
                 ("stages_5mbp_l20", run_stage_bench, ()),
                 ("chr1_250mbp_l50", run_chr1_bench, ())):
             hb(f"scenario: {key}")
-            detail[key] = isolated(fn, *a)
+            detail[key] = isolated(key, fn, *a)
+        # the chr1 scenario times the TRUE sharded program on the same
+        # index build; surface it as its own artifact row (config #5's
+        # "sharded index" — VERDICT r4 #1)
+        chr1 = detail.get("chr1_250mbp_l50") or {}
+        if "sharded" in chr1:
+            detail["chr1_sharded_250mbp_l50"] = chr1.pop("sharded")
+        # per-variant sub-errors (e.g. rank kernel variants) count too
+        for key, res in detail.items():
+            if isinstance(res, dict):
+                for sub, val in res.items():
+                    if sub.endswith("_error") and not any(
+                            e.get("scenario") == f"{key}.{sub}"
+                            for e in errors):
+                        errors.append({"scenario": f"{key}.{sub}",
+                                       "class": classify_error(str(val)),
+                                       "error": str(val)[:300]})
         try:
             rev = subprocess.run(["git", "-C", HERE, "rev-parse",
                                   "--short", "HEAD"], capture_output=True,
                                  text=True).stdout.strip()
         except OSError:
             rev = None
+        detail["errors"] = errors
         detail["_meta"] = {"generated_unix": int(time.time()),
                            "git_rev": rev,
                            "elapsed_s": round(time.perf_counter() - _T0, 1)}
@@ -663,6 +897,19 @@ def main() -> int:
               file=sys.stderr)
         return 0
 
+    if "--throughput" in argv:  # joined-dispatch serving mode (VERDICT #6)
+        res = run_throughput_bench()
+        print(json.dumps({
+            "metric": "throughput_joined_mbp_per_s",
+            "value": round(res["mbp_per_s"], 3),
+            "unit": "Mbp/s",
+            "vs_baseline": None,
+        }))
+        print(json.dumps({"detail": {k: (round(v, 4) if isinstance(v, float)
+                                         else v) for k, v in res.items()}}),
+              file=sys.stderr)
+        return 0
+
     res = run_bench(size, minlen)
 
     if calibrate:
@@ -683,7 +930,7 @@ def main() -> int:
                           "unit": "Mbp/s", "vs_baseline": 1.0}))
         return 0
 
-    emit_headline(res)
+    emit_headline(res, official=(size == SIZE and minlen == MINLEN))
     print(json.dumps({"detail": {k: (round(v, 4) if isinstance(v, float)
                                      else v) for k, v in res.items()}}),
           file=sys.stderr)
