@@ -374,8 +374,13 @@ def virtual_frontend(refk_p, starts_st: jax.Array, bases: jax.Array,
     for every sampled query position, slabs iterated with lax.map.
 
     Returns (lo [n_slabs, m_s], width [n_slabs, m_s], cum [m_s] int64,
-    summary [2] int64) with cum/summary over the per-position WORST-slab
-    width — the same planning bound the mesh frontend pmax-reduces.
+    summary [2 + n_slabs] int64): cum and summary[0:2] = (total, max) are
+    over the per-position WORST-slab width (the same conservative bound
+    the mesh frontend pmax-reduces); summary[2:] are the TRUE per-slab
+    pair totals — the single-block planner sizes the per-slab capacity
+    from their max, which at even spreads is ~n_slabs x smaller than the
+    worst-slab cumsum (the Sigma-of-maxima overcharge that made the first
+    committed chr1_sharded expansion 8 x 6.3M-slot dispatches).
     """
     qk_w, qvalid = sampled_query_keys(qt, k, stride)
     R = int(starts_st.shape[1]) - 1
@@ -405,7 +410,9 @@ def virtual_frontend(refk_p, starts_st: jax.Array, bases: jax.Array,
         one, (jnp.arange(n_slabs, dtype=jnp.int32), starts_st, bases))
     wmax = jnp.max(w, axis=0)
     cum = jnp.cumsum(wmax.astype(jnp.int64))
-    summary = jnp.stack([cum[-1], jnp.max(wmax).astype(jnp.int64)])
+    summary = jnp.concatenate(
+        [jnp.stack([cum[-1], jnp.max(wmax).astype(jnp.int64)]),
+         jnp.sum(w, axis=1, dtype=jnp.int64)])
     return lo, w, cum, summary
 
 
@@ -434,24 +441,63 @@ def virtual_expand_runs(sa_p, lo_st, w_st, start, limit, m_off,
         one, (jnp.arange(n_slabs, dtype=jnp.int32), lo_st, w_st))
 
 
-@functools.partial(jax.jit, static_argnames=("n_slabs", "slab", "capacity",
-                                             "block", "stride"))
-def virtual_expand_pairs(sa_p, lo_st, w_st, start, limit, m_off,
-                         n_slabs: int, slab: int, capacity: int, block: int,
-                         stride: int = 1):
-    """Raw sorted pairs per slab (run-capacity overflow fallback)."""
-    from slamem_tpu.engine.seed_mode import (_block_slices,
-                                             _expand_pairs_core)
+@functools.partial(jax.jit, static_argnames=("out_cap", "w_min"))
+def merge_slab_runs(run_d, run_qs, run_qe, n_runs, out_cap: int,
+                    w_min: int):
+    """Cross-slab ON-DEVICE merge + span filter of run-fragment triples.
 
-    def one(args):
-        i, lo_l, w_l = args
-        sa_l = jax.lax.dynamic_slice_in_dim(sa_p, i * slab, slab)
-        lo_b, w_b, q_start = _block_slices(lo_l, w_l, start, limit, block)
-        return _expand_pairs_core(sa_l, lo_b, w_b, q_start, m_off,
-                                  capacity, stride)
+    In the virtual-slab engine every slab's triples already live on the one
+    device, so the host-merge wire (3 x run_cap x n_slabs int32 — 37 MB of
+    mostly single-window noise fragments at chr1, the 30 s wall the first
+    committed chr1_sharded row measured) collapses to the merged,
+    span-filtered survivors. Semantics mirror seed_mode.merge_runs exactly:
+    sort fragments by (diag, qstart), chain where the diagonal matches and
+    qstart == previous qend + 1 (fragments of one run partition its sample
+    indices, so chains reassemble any partition), then keep only chains of
+    >= w_min windows — exact for single-block dispatches (the caller gates
+    w_min to 1 otherwise): dense w_min = L-K+1 is the final length filter
+    itself; sparse w_min = span_w_min (extension recovers < stride chars
+    per side, engine/seed_mode.py choose_stride).
 
-    return jax.lax.map(
-        one, (jnp.arange(n_slabs, dtype=jnp.int32), lo_st, w_st))
+    Returns (out_d, out_qs, out_qe, n_merged, n_kept); n_kept > out_cap
+    means the compacted buffer truncated — redispatch with a larger
+    out_cap (the triples are inputs, nothing is lost).
+    """
+    ns, rc = run_d.shape
+    imax = jnp.int32(0x7FFFFFFF)
+    valid = jnp.arange(rc, dtype=jnp.int32)[None, :] < n_runs[:, None]
+    d = jnp.where(valid, run_d, imax).reshape(-1)
+    qs = jnp.where(valid, run_qs, imax).reshape(-1)
+    qe = jnp.where(valid, run_qe, jnp.int32(-2)).reshape(-1)
+    v = valid.astype(jnp.int32).reshape(-1)
+    d, qs, qe, v = jax.lax.sort((d, qs, qe, v), dimension=0, num_keys=2)
+    total = d.shape[0]
+    pd = jnp.concatenate([jnp.full((1,), imax, jnp.int32), d[:-1]])
+    pqe = jnp.concatenate([jnp.full((1,), -2, jnp.int32), qe[:-1]])
+    vb = v == 1
+    is_start = vb & ((d != pd) | (qs != pqe + 1))
+    ridx = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    # chain end = segment max of qe (invalid rows sort last and carry
+    # qe = -2, below any real qe, so they can never raise a chain's max)
+    seg = jnp.clip(ridx, 0)
+    chain_qe = jax.ops.segment_max(qe, seg, num_segments=total)
+    cqe = chain_qe[seg]
+    keep = is_start & (cqe - qs + 1 >= jnp.int32(w_min))
+    kidx = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    tgt = jnp.where(keep, kidx, jnp.int32(out_cap))
+    out_d = jnp.full((out_cap,), -1, jnp.int32).at[tgt].set(d, mode="drop")
+    out_qs = jnp.full((out_cap,), -1, jnp.int32).at[tgt].set(qs,
+                                                             mode="drop")
+    out_qe = jnp.full((out_cap,), -1, jnp.int32).at[tgt].set(cqe,
+                                                             mode="drop")
+    return out_d, out_qs, out_qe, jnp.sum(is_start), jnp.sum(keep)
+
+
+# observed (max per-slab fragments, kept-after-merge) per
+# (index, k, stride, n_slabs, w_min): the first call discovers both by
+# doubling; later calls dispatch right-sized buffers immediately (in-RAM
+# hints, same correctness contract as seed_mode's adaptive counts)
+_virtual_last: dict[tuple, dict] = {}
 
 
 def _find_seed_matches_virtual(index: FMIndex, query_text: np.ndarray,
@@ -460,29 +506,61 @@ def _find_seed_matches_virtual(index: FMIndex, query_text: np.ndarray,
 
     Mirrors find_seed_matches_sharded's mesh driver stage for stage:
     frontend summary -> worst-slab capacity plan -> per-block per-slab run
-    triples -> host merge (merge_runs reassembles runs crossing slab or
-    block boundaries) -> strided extension/finalize. Exactness argument is
-    the mesh path's verbatim: pairs are partitioned by SA row across slabs,
-    and merge_runs collapses any partition of a run's sample indices.
+    triples -> CROSS-SLAB MERGE -> strided extension/finalize. The merge
+    runs on device (merge_slab_runs: every slab's triples share the chip
+    here) with the span filter applied on single-block dispatches, so the
+    wire carries only span-eligible merged runs instead of n_slabs
+    buffers of noise fragments. Exactness argument is the mesh path's
+    verbatim: pairs are partitioned by SA row across slabs, and the merge
+    collapses any partition of a run's consecutive sample indices;
+    multi-block dispatches disable the span filter (a run crossing a
+    block edge is merged by the host merge_runs, after which the exact
+    finalize filters by true length).
     """
+    import time
+
+    stage_t: dict[str, float] = {}
+    t_last = time.perf_counter()
+
+    def mark(name: str) -> None:
+        nonlocal t_last
+        now = time.perf_counter()
+        stage_t[name] = round(stage_t.get(name, 0.0) + (now - t_last), 4)
+        t_last = now
+
     qp, qt = seed_mode.query_to_device(query_text)
     m = int(qp.shape[0])
     k, stride, _sparse = seed_mode.choose_seed_plan(index.n, m, cfg)
     refk_p, sa_p, starts_st, bases, shift, probes, slab = \
         virtual_slab_tables(index, k, n_slabs)
+    mark("tables")
     lo_st, w_st, cum, summary = virtual_frontend(
         refk_p, starts_st, bases, qt, n_slabs, slab, k, shift, probes,
         stride)
     capacity = int(cfg.pair_capacity)
     summary_h = np.asarray(summary)
-    if capacity >= seed_mode._GROWTH_MIN_CAPACITY:
-        capacity = seed_mode.capacity_bucket(
-            int(summary_h[0]) + int(summary_h[1]), 1 << 18,
-            max(capacity, int(cfg.pair_capacity_max)))
+    mark("frontend")
     m_s = int(lo_st.shape[1])
     block = min(cfg.position_block, m_s)
-    blocks = seed_mode.plan_blocks_on_device(cum, summary_h, capacity,
-                                             block, m_s)
+    cap_ceil = max(capacity, int(cfg.pair_capacity_max))
+    worst_cum = int(summary_h[0]) + int(summary_h[1])
+    if (capacity >= seed_mode._GROWTH_MIN_CAPACITY
+            and worst_cum <= cap_ceil and block >= m_s):
+        # single-block fast path: one block holds every position, so each
+        # slab's in-block pair count IS its true total — size the shared
+        # per-slab capacity from max-over-slabs instead of the cumsum of
+        # per-position maxima (~n_slabs x smaller at even spreads; every
+        # expansion op is capacity-wide at ~35 ms per million slots)
+        capacity = seed_mode.capacity_bucket(
+            int(summary_h[2:].max()) + int(summary_h[1]), 1 << 18,
+            cap_ceil)
+        blocks = [(0, m_s)]
+    else:
+        if capacity >= seed_mode._GROWTH_MIN_CAPACITY:
+            capacity = seed_mode.capacity_bucket(worst_cum, 1 << 18,
+                                                 cap_ceil)
+        blocks = seed_mode.plan_blocks_on_device(cum, summary_h[:2],
+                                                 capacity, block, m_s)
     diag_mod = (np.int64(m + block + 2) if stride == 1
                 else np.int64((m_s + block + 2) * stride + 2))
     m_off = int(diag_mod) // 2
@@ -490,44 +568,66 @@ def _find_seed_matches_virtual(index: FMIndex, query_text: np.ndarray,
     lo_ext = jnp.concatenate([lo_st, zpad], axis=1)
     w_ext = jnp.concatenate([w_st, zpad], axis=1)
     m_off32 = jnp.asarray(m_off, jnp.int32)
-    run_cap = max(4096, capacity // 16)
+    mark("plan")
+    # span filter only when ONE block covers all positions (no run can be
+    # split by a block edge): dense w_min is the exact length filter in
+    # window units; sparse w_min from the span bound (merge_slab_runs doc)
+    if len(blocks) == 1:
+        w_min = (int(cfg.min_length) - k + 1 if stride == 1
+                 else seed_mode.span_w_min(int(cfg.min_length), k, stride))
+    else:
+        w_min = 1
+    hint_key = (id(index.sa), k, stride, n_slabs, w_min)
+    hint = _virtual_last.get(hint_key, {})
+    run_cap = seed_mode.capacity_bucket(
+        hint.get("frag", max(4096, capacity // 16)), 4096, capacity)
+    out_cap = seed_mode.capacity_bucket(
+        hint.get("kept", max(4096, capacity // 16)), 4096,
+        n_slabs * capacity)
     batches: list[RunBatch] = []
     true_pairs = 0
+    max_frag = 0
+    max_kept = 0
     for start, end in blocks:
         st = jnp.asarray(start, jnp.int64)
         en = jnp.asarray(end, jnp.int64)
-        run_d, run_qs, run_qe, n_runs, n_pairs = virtual_expand_runs(
-            sa_p, lo_ext, w_ext, st, en, m_off32, n_slabs, slab, capacity,
-            run_cap, block, stride)
-        n_runs_h = np.asarray(n_runs)
-        run_d_h = np.asarray(run_d)
-        run_qs_h = np.asarray(run_qs)
-        run_qe_h = np.asarray(run_qe)
-        true_pairs += int(np.asarray(n_pairs).sum())
-        overflow = [i for i in range(n_slabs)
-                    if int(n_runs_h[i]) > run_cap]
-        if overflow:
-            d_all, q_all = virtual_expand_pairs(
+        while True:   # grow run_cap until every slab's fragments fit
+            run_d, run_qs, run_qe, n_runs, n_pairs = virtual_expand_runs(
                 sa_p, lo_ext, w_ext, st, en, m_off32, n_slabs, slab,
-                capacity, block, stride)
-            d_of = np.asarray(d_all)
-            q_of = np.asarray(q_all)
-        for i in range(n_slabs):
-            if i in overflow:
-                batches.append(seed_mode.runs_from_sorted_pairs(
-                    d_of[i], q_of[i], m_off))
-            else:
-                batches.append(seed_mode.runs_from_compacted32(
-                    run_d_h[i], run_qs_h[i], run_qe_h[i],
-                    int(n_runs_h[i]), m_off))
+                capacity, run_cap, block, stride)
+            n_runs_h = np.asarray(n_runs)
+            frag = int(n_runs_h.max())
+            if frag <= run_cap or run_cap >= capacity:
+                break
+            run_cap = seed_mode.capacity_bucket(frag, 4096, capacity)
+        max_frag = max(max_frag, frag)
+        true_pairs += int(np.asarray(n_pairs).sum())
+        mark("expand")
+        while True:   # grow out_cap until the merged survivors fit
+            out_d, out_qs, out_qe, n_merged, n_kept = merge_slab_runs(
+                run_d, run_qs, run_qe, n_runs, out_cap, w_min)
+            kept = int(np.asarray(n_kept))
+            if kept <= out_cap:
+                break
+            out_cap = seed_mode.capacity_bucket(kept, 4096,
+                                                n_slabs * capacity)
+        max_kept = max(max_kept, kept)
+        mark("merge")
+        out_d_h, out_qs_h, out_qe_h = jax.device_get(
+            [out_d, out_qs, out_qe])
+        batches.append(seed_mode.runs_from_compacted32(
+            out_d_h, out_qs_h, out_qe_h, kept, m_off))
+        mark("fetch")
+    _virtual_last[hint_key] = {"frag": max_frag, "kept": max_kept}
     if stride != 1:
         matches = seed_mode._finalize_strided(
             batches, qt, seed_mode.ext_table(index), k, stride, cfg)
     else:
         matches = seed_mode.finalize_matches(batches, k, cfg)
+    mark("finalize")
     matches.stats = {"pairs": true_pairs, "k": k, "rounds": len(blocks),
                      "stride": stride, "shards": n_slabs,
-                     "virtual_slabs": True,
+                     "virtual_slabs": True, "stage_s": stage_t,
                      "bytes_min": seed_mode.roofline_bytes(
                          index.n, m, len(refk_p), true_pairs,
                          bucket=True, stride=stride, probes=probes)}

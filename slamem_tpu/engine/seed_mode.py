@@ -1491,50 +1491,9 @@ def pad_query(query_text: np.ndarray) -> np.ndarray:
 
 _query_device_cache = DevCache("query_device")
 
-
-def _pack_codes_2bit(qp: np.ndarray) -> np.ndarray:
-    """Host-side 2-bit pack: 4 codes/byte, low code first (bits 0,2,4,6).
-
-    Only the low 2 bits of each code survive (specials N=4 -> 0, SEP=5 -> 1
-    alias onto A/C); callers restore specials from a side channel. SWAR over
-    a uint32 view — ~5 vector passes over m/4 words, no per-element loop.
-    """
-    qp = np.ascontiguousarray(qp)
-    if qp.__array_interface__["data"][0] % 4:
-        qp = qp.copy()            # 4-byte-align for the uint32 view
-    w = qp.view(np.uint32)
-    w = w & np.uint32(0x03030303)           # c0@0, c1@8, c2@16, c3@24
-    w = (w | (w >> 6)) & np.uint32(0x000F000F)   # c0|c1<<2 @0, c2|c3<<2 @16
-    w = (w | (w >> 12)) & np.uint32(0xFF)        # all four in bits 0..7
-    return w.astype(np.uint8)
-
-
-def _spec_bucket(n: int) -> int:
-    """Pad special-position side channels to power-of-2 capacities so the
-    unpack program compiles once per bucket, not per special count."""
-    p = 16
-    while p < n:
-        p <<= 1
-    return p
-
-
-@jax.jit
-def _unpack_query_codes(pb: jax.Array, spec_idx: jax.Array,
-                        spec_val: jax.Array, m_real: jax.Array) -> jax.Array:
-    """Device-side inverse of _pack_codes_2bit (+ specials + tail pad).
-
-    The 2-bit plane unpacks with broadcast shifts; positions >= m_real
-    (query_bucket padding) become CODE_N arithmetically instead of riding
-    the wire; real specials (N runs, separators of joined requests) scatter
-    from the (idx, val) side channel — pad entries carry an out-of-range
-    index and drop (mode="drop").
-    """
-    shifts = jnp.arange(4, dtype=jnp.uint32) * 2
-    codes = ((pb[:, None].astype(jnp.uint32) >> shifts[None, :]) & 3
-             ).astype(jnp.uint8).reshape(-1)
-    tail = jnp.arange(codes.shape[0], dtype=jnp.int32) >= m_real
-    codes = jnp.where(tail, jnp.uint8(CODE_N), codes)
-    return codes.at[spec_idx].set(spec_val, mode="drop")
+# re-exported for tests/white-box probes; implementation in utils/pack2.py
+from slamem_tpu.utils.pack2 import (codes_to_device as _codes_to_device,  # noqa: E402,E501
+                                    pack_codes_2bit as _pack_codes_2bit)
 
 
 def query_to_device(query_text: np.ndarray) -> tuple[np.ndarray, jax.Array]:
@@ -1546,28 +1505,20 @@ def query_to_device(query_text: np.ndarray) -> tuple[np.ndarray, jax.Array]:
     of chr21's ~0.95 s total was this wire) — ships a 2-bit plane
     (4 bp/byte) plus a sparse (index, value) side channel for N/SEP
     positions, and reconstitutes exact uint8 codes in one device program:
-    a ~4x cut of the wire at ~1 byte/bp tunnels. Special-dense queries
-    (> 1/8 of positions; no real genome) fall back to the plain upload so
-    the side channel can never exceed the plane it rides with.
+    a ~4x cut of the wire at ~1 byte/bp tunnels (utils/pack2.py).
+    Special-dense queries (> 1/8 of positions; no real genome) fall back
+    to the plain upload so the side channel can never exceed the plane it
+    rides with. query_bucket padding never rides the wire either way —
+    the device pads arithmetically from the real length.
     """
     key = id(query_text)
     hit = _query_device_cache.get(key, query_text)
     if hit is not None:
         return hit
     qp = pad_query(query_text)
-    m = int(query_text.shape[0])
-    spec = np.flatnonzero(qp[:m] >= CODE_N).astype(np.int32)
-    if spec.size > max(16, m // 8):
+    qt = _codes_to_device(qp, int(query_text.shape[0]))
+    if qt is None:
         qt = jnp.asarray(qp)                  # special-dense: plain upload
-    else:
-        cap = _spec_bucket(spec.size)
-        idx = np.full(cap, np.int32(0x40000000))   # OOB pad -> dropped
-        idx[:spec.size] = spec
-        val = np.zeros(cap, np.uint8)
-        val[:spec.size] = qp[spec]
-        qt = _unpack_query_codes(jnp.asarray(_pack_codes_2bit(qp)),
-                                 jnp.asarray(idx), jnp.asarray(val),
-                                 jnp.int32(m))
     return _query_device_cache.put(key, query_text, (qp, qt))
 
 

@@ -238,9 +238,26 @@ def build_index(text: np.ndarray | jax.Array, occ_block: int = 128) -> FMIndex:
     from slamem_tpu.engine.adaptive import text_digest
 
     digest = text_digest(text)  # host-side, before the device transfer
-    text = jnp.concatenate(
-        [jnp.asarray(text, dtype=jnp.uint8),
-         jnp.full((1,), 5, jnp.uint8)])  # CODE_SEP terminator
+    dev_text = None
+    if isinstance(text, np.ndarray) and text.size >= (1 << 20):
+        # chr-scale reference upload rides the 2-bit packed wire
+        # (utils/pack2.py): 4 bp/byte + sparse special side channel cuts
+        # the dominant host->device term of a cold build ~4x on tunneled
+        # backends (~3.2 s -> ~0.8 s at 250 Mbp; scripts/build_budget.py)
+        from slamem_tpu.utils.pack2 import codes_to_device
+
+        n = int(text.size)
+        plane = text if n % 4 == 0 else np.concatenate(
+            [text, np.zeros(4 - n % 4, np.uint8)])
+        unpacked = codes_to_device(np.asarray(plane, np.uint8), n)
+        if unpacked is not None:
+            dev_text = jnp.concatenate(
+                [unpacked[:n], jnp.full((1,), 5, jnp.uint8)])
+    if dev_text is None:
+        dev_text = jnp.concatenate(
+            [jnp.asarray(text, dtype=jnp.uint8),
+             jnp.full((1,), 5, jnp.uint8)])  # CODE_SEP terminator
+    text = dev_text
     sa = suffix_array(text)
     bwt, occ_ckpt, counts = _finish_index(text, sa, occ_block)
     index = FMIndex(text=text, sa=sa, bwt=bwt, occ_ckpt=occ_ckpt,

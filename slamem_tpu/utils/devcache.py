@@ -16,8 +16,11 @@ Design:
     never keeps a dropped index alive on its own;
   * a single global ledger sums nbytes across all caches; inserts evict
     global-LRU entries (dead-owner entries first) until the total fits
-    ``SLAMEM_CACHE_BYTES`` (default 6 GiB — leaves room on a 16 GB v5e for
-    the index itself plus the engine's capacity-wide work buffers);
+    ``SLAMEM_CACHE_BYTES`` (default 10 GiB — leaves room on a 16 GB v5e
+    for the index itself plus the engine's capacity-wide work buffers;
+    raised from 6 GiB in round 5 because the chr1 virtual-slab tables —
+    ~4.2 GB next to the replicated seed tables — thrashed the 6 GiB
+    ledger into rebuilding them every call, 8-11 s/call measured);
   * ``clear_device_caches()`` drops everything — bench harnesses call it
     between scenarios so one scenario's tables never bill the next.
 
@@ -34,7 +37,7 @@ import weakref
 
 import jax
 
-_BUDGET_BYTES = int(os.environ.get("SLAMEM_CACHE_BYTES", 6 << 30))
+_BUDGET_BYTES = int(os.environ.get("SLAMEM_CACHE_BYTES", 10 << 30))
 _tick = itertools.count()
 _caches: list["DevCache"] = []
 

@@ -64,3 +64,24 @@ def test_pack_codes_2bit_layout():
     codes = np.array([0, 1, 2, 3, 3, 2, 1, 0], np.uint8)
     packed = sm._pack_codes_2bit(codes)
     assert packed.tolist() == [0b11100100, 0b00011011]
+
+
+def test_build_index_packed_text_upload_exact():
+    """build_index's packed reference upload reconstitutes the exact text
+    (specials included) — identical index arrays vs a plain-path build."""
+    import jax.numpy as jnp
+
+    from slamem_tpu.index.build import build_index
+
+    rng = np.random.default_rng(9)
+    text = rng.integers(0, 4, (1 << 20) + 7).astype(np.uint8)  # >= pack gate
+    text[5000:5100] = CODE_N
+    text[123456] = CODE_SEP
+    idx_packed = build_index(text)
+    idx_plain = build_index(jnp.asarray(text))  # jax input: plain path
+    assert np.array_equal(np.asarray(idx_packed.text),
+                          np.asarray(idx_plain.text))
+    assert np.array_equal(np.asarray(idx_packed.sa),
+                          np.asarray(idx_plain.sa))
+    assert np.array_equal(np.asarray(idx_packed.bwt),
+                          np.asarray(idx_plain.bwt))
