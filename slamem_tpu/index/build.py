@@ -115,19 +115,30 @@ def _round_body(rank: jax.Array, k: jax.Array) -> tuple[jax.Array, jax.Array]:
 
     Sorts (rank, rank@+k) lexicographically with one variadic int32
     lax.sort — 64-bit packed keys cost ~20x on v5e's sort path (measured).
+
+    Two round-5 rewrites, each replacing a ~16 ns/element random-access op
+    with sequential passes (scripts/build_budget.py: rounds were 10.4 s at
+    250 Mbp, ~8 s of it these two ops):
+      * rank@+k is a SHIFT, not a gather: slice [k, k+n) out of rank
+        padded with n sentinel -1s — positions past the end come out -1
+        (suffix shorter than k sorts smallest) with no mask, and
+        dynamic_slice takes the traced k with a static size;
+      * position-ordering the new ranks uses a 1-key sort by the carried
+        index instead of a scatter — a bitonic pass beats random scatter
+        ~2x at this width.
     """
     n = rank.shape[0]
-    # rank of the suffix k ahead; suffixes shorter than k compare smallest
-    ahead = jnp.arange(n, dtype=jnp.int32) + k
-    rank_k = jnp.where(ahead < n, rank[jnp.clip(ahead, max=n - 1)],
-                       jnp.int32(-1))
+    padded = jnp.concatenate([rank, jnp.full((n,), -1, jnp.int32)])
+    rank_k = jax.lax.dynamic_slice(padded, (jnp.asarray(k, jnp.int32),),
+                                   (n,))
     idx = jnp.arange(n, dtype=jnp.int32)
     r1, r2, order = jax.lax.sort((rank, rank_k, idx), dimension=0, num_keys=2)
     is_new = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32),
          ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(jnp.int32)])
     new_rank_sorted = jnp.cumsum(is_new)
-    new_rank = jnp.zeros((n,), jnp.int32).at[order].set(new_rank_sorted)
+    _, new_rank = jax.lax.sort((order, new_rank_sorted), dimension=0,
+                               num_keys=1)
     return new_rank, new_rank_sorted[-1]
 
 
