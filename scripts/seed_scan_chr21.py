@@ -19,8 +19,10 @@ import time
 
 SIZE = int(os.environ.get("SEEDSCAN_SIZE", 40_000_000))
 MINLEN = 50
-LOG = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "seedscan_chr21.log")
+CPU = os.environ.get("SEEDSCAN_CPU", "0") == "1"
+LOG = os.environ.get("SEEDSCAN_LOG", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "seedscan_chr21.log"))
 
 
 def main() -> int:
@@ -35,6 +37,14 @@ def main() -> int:
     import numpy as np
 
     import jax
+
+    if CPU:
+        # the 40 Mbp scan-lane program crashes THIS sandbox's remote TPU
+        # worker (kernel fault, backend-independent — see DESIGN.md §9);
+        # engine equality is platform-independent, so the full-scale proof
+        # runs on the CPU backend while the TPU run covers the largest
+        # scale the worker tolerates
+        jax.config.update("jax_platforms", "cpu")
 
     from slamem_tpu.config import Config
     from slamem_tpu.engine.scan_mode import find_scan_matches

@@ -28,6 +28,7 @@ which generates strictly fewer candidate pairs when L > seed_length_cap.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -191,16 +192,45 @@ def scan_intervals(index: FMIndex, query_text: np.ndarray, L: int,
     return lo, w
 
 
+# Chunk width for chr-scale scans. The capped-depth state at position i is
+# a pure function of q[i:i+L] (the module-docstring exactness argument), so
+# the scan may process any slice of the query given L characters of
+# lookahead — intervals are identical to the monolithic program's. One
+# 50 Mbp lockstep dispatch crashed the TPU worker (round 5, reproducing
+# the round-1 incident); 4M-position segments with uniform padded shape
+# compile once and bound the program's footprint.
+_SCAN_CHUNK = int(os.environ.get("SLAMEM_SCAN_CHUNK", 1 << 22))
+
+
 def find_scan_matches(index: FMIndex, query_text: np.ndarray, cfg: Config,
                       mesh=None):
     """Scan frontend + shared pair/run backend (see seed_mode)."""
     from slamem_tpu.engine import seed_mode
+    from slamem_tpu.io.fasta import CODE_N
 
     L = cfg.min_length
     # N-padding: no spurious intervals; device copy memoized per query
     qp, qt = seed_mode.query_to_device(query_text)
     m = int(qp.shape[0])
-    lo, width = scan_intervals(index, qt, L, rank_kernel=cfg.rank_kernel)
+    C = _SCAN_CHUNK
+    if m <= C:
+        lo, width = scan_intervals(index, qt, L,
+                                   rank_kernel=cfg.rank_kernel)
+    else:
+        los, ws = [], []
+        for a in range(0, m, C):
+            seg = qt[a:a + C + L]
+            if int(seg.shape[0]) < C + L:   # uniform tail shape: N pad
+                seg = jnp.concatenate(
+                    [seg, jnp.full((C + L - int(seg.shape[0]),), CODE_N,
+                                   jnp.uint8)])
+            lo_c, w_c = scan_intervals(index, seg, L,
+                                       rank_kernel=cfg.rank_kernel)
+            take = min(C, m - a)
+            los.append(lo_c[:take])
+            ws.append(w_c[:take])
+        lo = jnp.concatenate(los)
+        width = jnp.concatenate(ws)
     # FM hits never touch specials: plain SA doubles as the all-valid
     # sign-augmented view (augment_sa with validity all-true)
     return seed_mode.pairs_to_matches(index, lo, width, L, m, cfg, mesh,

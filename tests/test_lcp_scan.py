@@ -120,3 +120,26 @@ def test_scan_equals_seed(L, mode):
     ta = sorted(zip(a.refpos.tolist(), a.qpos.tolist(), a.length.tolist()))
     tb = sorted(zip(b.refpos.tolist(), b.qpos.tolist(), b.length.tolist()))
     assert ta == tb and len(ta) > 0
+
+
+def test_scan_chunked_equals_monolithic(monkeypatch):
+    """Chunked chr-scale scan (L-overlap segments) == one-dispatch scan ==
+    seed engine. The chunk width is forced tiny so a small input exercises
+    several segments including the padded tail."""
+    from slamem_tpu.engine import scan_mode
+    from slamem_tpu.engine.seed_mode import find_seed_matches
+
+    ref = random_genome(20_000, seed=771)
+    qry = mutate(ref, 0.02, 0.002, seed=772)
+    idx = build_index(ref)
+    cfg = Config(min_length=12)
+
+    def tup(m):
+        return sorted(zip(m.refpos.tolist(), m.qpos.tolist(),
+                          m.length.tolist()))
+
+    want = tup(scan_mode.find_scan_matches(idx, qry, cfg))
+    monkeypatch.setattr(scan_mode, "_SCAN_CHUNK", 4096)
+    got = tup(scan_mode.find_scan_matches(idx, qry, cfg))
+    assert got == want and len(want) > 0
+    assert tup(find_seed_matches(idx, qry, cfg)) == want
