@@ -19,14 +19,24 @@ import numpy as np
 from slamem_tpu.io.fasta import CODE_N
 
 
+try:                                     # native fast path (~10x numpy)
+    from slamem_tpu._native.pack2n import pack_codes_2bit as _pack_native
+except ImportError:                      # no gcc: numpy SWAR carries on
+    _pack_native = None
+
+
 def pack_codes_2bit(qp: np.ndarray) -> np.ndarray:
     """Host-side 2-bit pack: 4 codes/byte, low code first (bits 0,2,4,6).
 
     Input length must be a multiple of 4. Only the low 2 bits of each code
     survive (specials N=4 -> 0, SEP=5 -> 1 alias onto A/C); callers restore
-    specials from a side channel. SWAR over a uint32 view — ~5 vector
-    passes over len/4 words, no per-element loop.
+    specials from a side channel. Dispatches to the native SWAR packer
+    (_native/pack2.c) when the toolchain built it; the numpy fallback does
+    the same SWAR over a uint32 view in ~5 vector passes. Both produce
+    identical bytes (fuzz-tested).
     """
+    if _pack_native is not None:
+        return _pack_native(qp)
     qp = np.ascontiguousarray(qp)
     if qp.__array_interface__["data"][0] % 4:
         qp = qp.copy()            # 4-byte-align for the uint32 view

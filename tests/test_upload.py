@@ -85,3 +85,29 @@ def test_build_index_packed_text_upload_exact():
                           np.asarray(idx_plain.sa))
     assert np.array_equal(np.asarray(idx_packed.bwt),
                           np.asarray(idx_plain.bwt))
+
+
+def test_native_pack_matches_numpy_swar():
+    """pack2.c and the numpy SWAR must be byte-identical on fuzzed inputs
+    (every length class mod 8, specials included)."""
+    import pytest
+
+    from slamem_tpu.utils import pack2
+
+    if pack2._pack_native is None:
+        pytest.skip("native packer unavailable (no gcc)")
+
+    def numpy_swar(qp):
+        qp = np.ascontiguousarray(qp)
+        if qp.__array_interface__["data"][0] % 4:
+            qp = qp.copy()
+        w = qp.view(np.uint32)
+        w = w & np.uint32(0x03030303)
+        w = (w | (w >> 6)) & np.uint32(0x000F000F)
+        w = (w | (w >> 12)) & np.uint32(0xFF)
+        return w.astype(np.uint8)
+
+    rng = np.random.default_rng(3)
+    for n in (4, 8, 12, 100, 1024, 4100, 65536, 1 << 20):
+        codes = rng.integers(0, 6, n - n % 4).astype(np.uint8)
+        assert np.array_equal(pack2._pack_native(codes), numpy_swar(codes))
