@@ -93,6 +93,14 @@ def main() -> int:
             find_seed_matches_sharded(idx, qry, cfg, make_mesh(ndev)), cfg))
         assert got == want, (t, size, minlen, mode, f"sharded{ndev}",
                              len(got), len(want))
+        # virtual slabs (r5): same multi-slab program, one device, slab
+        # count drawn independently of any device count
+        nsl = int(rng.choice([2, 3, 5, 8]))
+        got = tuples(apply_mode_filter(
+            find_seed_matches_sharded(idx, qry, cfg, None, n_slabs=nsl),
+            cfg))
+        assert got == want, (t, size, minlen, mode, f"virtual{nsl}",
+                             len(got), len(want))
         print(f"trial {t}: size={size} L={minlen} mode={mode} "
               f"matches={len(want)} ok ({time.time() - t00:.0f}s)",
               flush=True)

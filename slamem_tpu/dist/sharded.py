@@ -387,27 +387,48 @@ def virtual_frontend(refk_p, starts_st: jax.Array, bases: jax.Array,
     bq = jax.lax.shift_right_logical(qk_w[0],
                                      jnp.asarray(shift, qk_w[0].dtype))
 
-    def one(args):
-        i, starts, base = args
-        # uint32 wrap does the range test in one compare: bq < base wraps
-        # huge and fails < R exactly like bq >= base + R
-        d = bq - base
+    if probes == 0:
+        # direct tables: ONE flat paired gather for every (slab, sample) —
+        # no lax.map iteration structure between the gathers, so XLA
+        # pipelines the full n_slabs * m_s access stream at its gather
+        # concurrency limit. Per-slab rows tile a flat view; a slice at
+        # local bucket R-1 reads that slab's last table entry, never the
+        # next slab's.
+        d = bq[None, :] - bases[:, None]     # uint32 wrap = range test
         inr = d < jnp.asarray(R, d.dtype)
-        b_loc = jnp.minimum(d, jnp.asarray(R - 1, d.dtype)).astype(jnp.int32)
+        b_loc = jnp.minimum(d, jnp.asarray(R - 1, d.dtype)
+                            ).astype(jnp.int32)
+        g = b_loc + (jnp.arange(n_slabs, dtype=jnp.int32)
+                     * (R + 1))[:, None]
+        flat = starts_st.reshape(-1)
         pair = jax.vmap(
-            lambda j: jax.lax.dynamic_slice(starts, (j,), (2,)))(b_loc)
-        lo0, hi0 = pair[:, 0], pair[:, 1]
-        valid = qvalid & inr
-        if probes == 0:
-            return lo0, jnp.where(valid, hi0 - lo0, 0).astype(jnp.int32)
-        refk_l = tuple(jax.lax.dynamic_slice_in_dim(w, i * slab, slab)
-                       for w in refk_p)
-        left, right = _bracket_refine(refk_l, qk_w, lo0, hi0, probes)
-        return (left.astype(jnp.int32),
-                jnp.where(valid, right - left, 0).astype(jnp.int32))
+            lambda j: jax.lax.dynamic_slice(flat, (j,), (2,))
+        )(g.reshape(-1)).reshape(n_slabs, -1, 2)
+        valid = qvalid[None, :] & inr
+        lo = pair[..., 0].astype(jnp.int32)
+        w = jnp.where(valid, pair[..., 1] - pair[..., 0], 0
+                      ).astype(jnp.int32)
+    else:
+        def one(args):
+            i, starts, base = args
+            # uint32 wrap does the range test in one compare: bq < base
+            # wraps huge and fails < R exactly like bq >= base + R
+            d = bq - base
+            inr = d < jnp.asarray(R, d.dtype)
+            b_loc = jnp.minimum(d, jnp.asarray(R - 1, d.dtype)
+                                ).astype(jnp.int32)
+            pair = jax.vmap(
+                lambda j: jax.lax.dynamic_slice(starts, (j,), (2,)))(b_loc)
+            lo0, hi0 = pair[:, 0], pair[:, 1]
+            valid = qvalid & inr
+            refk_l = tuple(jax.lax.dynamic_slice_in_dim(w, i * slab, slab)
+                           for w in refk_p)
+            left, right = _bracket_refine(refk_l, qk_w, lo0, hi0, probes)
+            return (left.astype(jnp.int32),
+                    jnp.where(valid, right - left, 0).astype(jnp.int32))
 
-    lo, w = jax.lax.map(
-        one, (jnp.arange(n_slabs, dtype=jnp.int32), starts_st, bases))
+        lo, w = jax.lax.map(
+            one, (jnp.arange(n_slabs, dtype=jnp.int32), starts_st, bases))
     wmax = jnp.max(w, axis=0)
     cum = jnp.cumsum(wmax.astype(jnp.int64))
     summary = jnp.concatenate(
