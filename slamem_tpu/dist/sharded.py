@@ -208,12 +208,16 @@ def sharded_expand(mesh: Mesh, sa_sh, lo_sh, w_sh, start, limit,
         lo_b, w_b, q_start = _block_slices(lo_l[0], w_l[0], st, lim, block)
         d_s, q_s = _expand_pairs_core(sa_l[0], lo_b, w_b, q_start, m_off,
                                       capacity, stride)
-        return d_s[None], q_s[None]
+        # all_gather so the result is REPLICATED: on a multi-process mesh
+        # the host can only fetch fully-addressable arrays, and every
+        # process needs every shard's pairs for the merge (the same
+        # contract as dist/seed.py's gathered collectives)
+        return jax.lax.all_gather(d_s, "q"), jax.lax.all_gather(q_s, "q")
 
     fn = shard_map(
         step, mesh=mesh,
         in_specs=(P("q", None), P("q", None), P("q", None), P(), P(), P()),
-        out_specs=(P("q", None), P("q", None)))
+        out_specs=(P(), P()), check_vma=False)
     return fn(sa_sh, lo_sh, w_sh, start, limit, m_off)
 
 
@@ -246,14 +250,19 @@ def sharded_expand_runs(mesh: Mesh, sa_sh, lo_sh, w_sh, start, limit,
         run_d, run_qs, run_qe, n_runs, n_pairs = _compact_pair_runs(
             d_s, q_s, run_capacity)
         total = jax.lax.psum(n_pairs, "q")
-        return (run_d[None], run_qs[None], run_qe[None],
-                n_runs[None], total[None])
+        # all_gather the triples + counts so the outputs are REPLICATED:
+        # the host merge runs identically on every process of a
+        # multi-host mesh (fetching a P("q")-sharded array is impossible
+        # there), matching dist/seed.py's gathered-collective contract
+        return (jax.lax.all_gather(run_d, "q"),
+                jax.lax.all_gather(run_qs, "q"),
+                jax.lax.all_gather(run_qe, "q"),
+                jax.lax.all_gather(n_runs, "q"), total)
 
     fn = shard_map(
         step, mesh=mesh,
         in_specs=(P("q", None), P("q", None), P("q", None), P(), P(), P()),
-        out_specs=(P("q", None), P("q", None), P("q", None), P("q"),
-                   P("q")))
+        out_specs=(P(), P(), P(), P(), P()), check_vma=False)
     return fn(sa_sh, lo_sh, w_sh, start, limit, m_off)
 
 
@@ -745,10 +754,10 @@ def find_seed_matches_sharded(index: FMIndex, query_text: np.ndarray,
         run_d, run_qs, run_qe, n_runs, _tot = sharded_expand_runs(
             mesh, sa_sh, lo_ext, w_ext, st, en, m_off32, capacity,
             run_cap, block, stride)
-        # every shard's psum equals the block's global pair count; entry 0
-        # suffices (ADVICE r4: summary_h[0] is the cumsum of per-position
-        # WORST-shard widths — a planning bound, not the pair total)
-        true_pairs += int(np.asarray(_tot)[0])
+        # the psum is the block's exact global pair count (ADVICE r4:
+        # summary_h[0] is the cumsum of per-position WORST-shard widths —
+        # a planning bound, not the pair total)
+        true_pairs += int(np.asarray(_tot))
         n_runs_h = np.asarray(n_runs)
         run_d_h = np.asarray(run_d)
         run_qs_h = np.asarray(run_qs)

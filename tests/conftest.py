@@ -36,6 +36,7 @@ _SLOW_TESTS = {
     "test_span_prefilter_deep_minlen_oracle_exact",
     "test_parity_exact_length_threshold",
     "test_two_process_multihost_cli",
+    "test_two_process_multihost_cli_sharded",
     "test_cli_shard_flag",
     "test_elig_buffer_overflow_falls_back_exact",
     "test_two_word_full_pipeline_oracle_parity",

@@ -121,3 +121,52 @@ def test_two_process_multihost_cli(tmp_path):
     assert outs[0].exists(), "process 0 must emit the listing"
     assert not outs[1].exists(), "process 1 must stay silent"
     assert outs[0].read_text() == single.read_text()
+
+
+def test_two_process_multihost_cli_sharded(tmp_path):
+    """REAL multi-host evidence for the SHARDED path (config #5): two OS
+    processes join via jax.distributed, the SA-rank slabs split across the
+    global 8-device mesh (4 per process), the run-triple merge rides
+    all_gather, and process 0's bytes equal a plain single-process run."""
+    import os
+    import subprocess
+    import sys
+
+    from slamem_tpu.io import Sequence, write_fasta
+    from slamem_tpu.utils.synth import mutate, random_genome
+
+    ref = random_genome(3000, seed=911)
+    qry = mutate(ref, 0.02, 0.002, seed=912)
+    rp, qp = str(tmp_path / "r.fa"), str(tmp_path / "q.fa")
+    write_fasta(rp, [Sequence("R", ref)])
+    write_fasta(qp, [Sequence("Q", qry)])
+
+    base = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+                XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    for bad in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        base.pop(bad, None)
+
+    single = tmp_path / "single.txt"
+    r = subprocess.run(
+        [sys.executable, "-m", "slamem_tpu.cli.main", "-l", "14",
+         "-o", str(single), rp, qp],
+        capture_output=True, text=True, env=base)
+    assert r.returncode == 0, r.stderr[-1500:]
+
+    outs = [tmp_path / "p0.txt", tmp_path / "p1.txt"]
+    procs = []
+    for i in range(2):
+        env = dict(base, JAX_COORDINATOR_ADDRESS="localhost:23982",
+                   JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(i))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "slamem_tpu.cli.main", "-l", "14",
+             "-shard", "-o", str(outs[i]), rp, qp],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    for i, p in enumerate(procs):
+        _, err = p.communicate(timeout=480)
+        assert p.returncode == 0, (i, err[-1500:])
+    assert outs[0].exists(), "process 0 must emit the listing"
+    assert not outs[1].exists(), "process 1 must stay silent"
+    assert outs[0].read_text() == single.read_text()
