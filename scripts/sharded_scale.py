@@ -105,7 +105,7 @@ def main() -> int:
     # ---- slab memory account (the "does it fit" number) ----
     k, stride, _ = seed_mode.choose_seed_plan(index.n, int(
         seed_mode.pad_query(qry).shape[0]), cfg)
-    refk_p, sa_p, starts_st, bases, shift, probes, slab = \
+    refk_p, sa_p, starts_st, bases, lasts, shift, probes, slab = \
         sharded.virtual_slab_tables(index, k, 8)
     tab = {
         "refk_words_bytes": sum(int(np.prod(w.shape)) * 4 for w in refk_p),

@@ -323,10 +323,11 @@ def virtual_slab_tables(index: FMIndex, k: int, n_slabs: int,
     word0_bits = 2 * min(k, 16)
     # first/last REAL word-0 key per slab (2*n_slabs scalars, one fetch):
     # a slab's prefix range under any shift follows on the host
-    firsts = np.arange(n_slabs, dtype=np.int64) * slab
-    lasts = np.minimum(firsts + slab, n) - 1
+    first_rows = np.arange(n_slabs, dtype=np.int64) * slab
+    last_rows = np.minimum(first_rows + slab, n) - 1
     k0 = np.asarray(refk_words[0][jnp.asarray(
-        np.concatenate([firsts, lasts]).astype(np.int32))]).astype(np.uint64)
+        np.concatenate([first_rows, last_rows]).astype(np.int32))]
+    ).astype(np.uint64)
     kf, kl = k0[:n_slabs], k0[n_slabs:]
     s = max(0, word0_bits - 28)   # same 28-bit direct ceiling as bucket_table
     while True:
@@ -338,6 +339,7 @@ def virtual_slab_tables(index: FMIndex, k: int, n_slabs: int,
             break
         s += 1   # skewed key space: coarsen buckets until the budget holds
     bases = jnp.asarray((kf >> s).astype(np.uint32))
+    lasts = jnp.asarray((kl >> s).astype(np.uint32))
     starts_st, maxb = _virtual_bucket_tables(refk_p[0], bases, n_slabs, slab,
                                              R, s)
     if len(refk_p) == 1 and s == 0:
@@ -345,7 +347,7 @@ def virtual_slab_tables(index: FMIndex, k: int, n_slabs: int,
     else:
         probes = max(1, int(np.ceil(np.log2(
             max(int(np.asarray(maxb)), 2)))) + 1)
-    tables = (refk_p, sa_p, starts_st, bases, s, probes, slab)
+    tables = (refk_p, sa_p, starts_st, bases, lasts, s, probes, slab)
     return _virtual_tables_cache.put(key, index.sa, tables)
 
 
@@ -377,8 +379,9 @@ def _virtual_bucket_tables(refk0_p: jax.Array, bases: jax.Array,
 @functools.partial(jax.jit, static_argnames=("n_slabs", "slab", "k", "shift",
                                              "probes", "stride"))
 def virtual_frontend(refk_p, starts_st: jax.Array, bases: jax.Array,
-                     qt: jax.Array, n_slabs: int, slab: int, k: int,
-                     shift: int, probes: int, stride: int = 1):
+                     lasts: jax.Array, qt: jax.Array, n_slabs: int,
+                     slab: int, k: int, shift: int, probes: int,
+                     stride: int = 1):
     """sharded_frontend's contract on one device: per-slab local intervals
     for every sampled query position, slabs iterated with lax.map.
 
@@ -397,26 +400,48 @@ def virtual_frontend(refk_p, starts_st: jax.Array, bases: jax.Array,
                                      jnp.asarray(shift, qk_w[0].dtype))
 
     if probes == 0:
-        # direct tables: ONE flat paired gather for every (slab, sample) —
-        # no lax.map iteration structure between the gathers, so XLA
-        # pipelines the full n_slabs * m_s access stream at its gather
-        # concurrency limit. Per-slab rows tile a flat view; a slice at
-        # local bucket R-1 reads that slab's last table entry, never the
-        # next slab's.
-        d = bq[None, :] - bases[:, None]     # uint32 wrap = range test
-        inr = d < jnp.asarray(R, d.dtype)
-        b_loc = jnp.minimum(d, jnp.asarray(R - 1, d.dtype)
-                            ).astype(jnp.int32)
-        g = b_loc + (jnp.arange(n_slabs, dtype=jnp.int32)
-                     * (R + 1))[:, None]
+        # OWNER ROUTING (direct tables): slab prefix ranges tile the
+        # sorted key space, so the slabs containing a query prefix form a
+        # CONTIGUOUS run [f, l] — found by two searchsorteds over the
+        # n_slabs-entry base/last arrays (register-level, no HBM
+        # traffic). Only the FIRST and LAST slab of the run need a table
+        # gather; when l > f the boundary prefixes pin last_f == bq ==
+        # base_l, so slab f's interval runs to its end, slab l's from its
+        # start, and interior slabs are entirely the class. Gather cost
+        # is <= 2 paired slices per sample REGARDLESS of slab count
+        # (8 gathers/sample before; frontend 1.24 s -> measured below),
+        # and every produced (lo, width) is exactly what the slab's own
+        # table lookup would return (width 0 where bq lies outside the
+        # slab's range == the empty interval its table would bracket).
+        f = jnp.searchsorted(lasts, bq, side="left").astype(jnp.int32)
+        l = jnp.searchsorted(bases, bq, side="right").astype(jnp.int32) - 1
+        has = (f <= l) & qvalid
+        fc = jnp.clip(f, 0, n_slabs - 1)
+        lc = jnp.clip(l, 0, n_slabs - 1)
         flat = starts_st.reshape(-1)
-        pair = jax.vmap(
-            lambda j: jax.lax.dynamic_slice(flat, (j,), (2,))
-        )(g.reshape(-1)).reshape(n_slabs, -1, 2)
-        valid = qvalid[None, :] & inr
-        lo = pair[..., 0].astype(jnp.int32)
-        w = jnp.where(valid, pair[..., 1] - pair[..., 0], 0
-                      ).astype(jnp.int32)
+
+        def pair_at(slab_idx):
+            b_loc = jnp.minimum(bq - bases[slab_idx],
+                                jnp.asarray(R - 1, bq.dtype)
+                                ).astype(jnp.int32)
+            g = jnp.maximum(b_loc, 0) + slab_idx * (R + 1)
+            return jax.vmap(
+                lambda j: jax.lax.dynamic_slice(flat, (j,), (2,)))(g)
+
+        pf = pair_at(fc)
+        pl = pair_at(lc)
+        single = fc == lc
+        i = jnp.arange(n_slabs, dtype=jnp.int32)[:, None]
+        is_f = (i == fc[None, :]) & has[None, :]
+        is_l = (i == lc[None, :]) & has[None, :]
+        interior = (i > fc[None, :]) & (i < lc[None, :]) & has[None, :]
+        lo = jnp.where(is_f, pf[:, 0][None, :], 0).astype(jnp.int32)
+        hi = jnp.where(
+            is_f,
+            jnp.where(single[None, :], pf[:, 1][None, :], slab),
+            jnp.where(is_l, pl[:, 1][None, :],
+                      jnp.where(interior, slab, 0)))
+        w = jnp.maximum(hi - lo, 0).astype(jnp.int32)
     else:
         def one(args):
             i, starts, base = args
@@ -525,9 +550,23 @@ def merge_slab_runs(run_d, run_qs, run_qe, n_runs, out_cap: int,
 
 # observed (max per-slab fragments, kept-after-merge) per
 # (index, k, stride, n_slabs, w_min): the first call discovers both by
-# doubling; later calls dispatch right-sized buffers immediately (in-RAM
-# hints, same correctness contract as seed_mode's adaptive counts)
+# capacity-growing re-dispatches (each a compiled shape family — 145 s +
+# 67 s of tunnel compile at chr1, measured); later calls dispatch
+# right-sized buffers immediately. Hints, not truth: a stale record
+# mis-sizes a buffer and the growth loop corrects it. Persisted through
+# engine/adaptive's disk store so a COLD process dispatches the
+# converged family on its first call (the §8a contract, extended to the
+# sharded engine).
 _virtual_last: dict[tuple, dict] = {}
+
+
+def _virtual_hint_keys(index: FMIndex, k: int, stride: int, n_slabs: int,
+                       w_min: int) -> tuple[tuple, str]:
+    from slamem_tpu.index.build import index_digest
+
+    return ((id(index.sa), k, stride, n_slabs, w_min),
+            f"virt|{index_digest(index)}|k{k}|s{stride}"
+            f"|n{n_slabs}|w{w_min}")
 
 
 def _find_seed_matches_virtual(index: FMIndex, query_text: np.ndarray,
@@ -561,12 +600,12 @@ def _find_seed_matches_virtual(index: FMIndex, query_text: np.ndarray,
     qp, qt = seed_mode.query_to_device(query_text)
     m = int(qp.shape[0])
     k, stride, _sparse = seed_mode.choose_seed_plan(index.n, m, cfg)
-    refk_p, sa_p, starts_st, bases, shift, probes, slab = \
+    refk_p, sa_p, starts_st, bases, lasts, shift, probes, slab = \
         virtual_slab_tables(index, k, n_slabs)
     mark("tables")
     lo_st, w_st, cum, summary = virtual_frontend(
-        refk_p, starts_st, bases, qt, n_slabs, slab, k, shift, probes,
-        stride)
+        refk_p, starts_st, bases, lasts, qt, n_slabs, slab, k, shift,
+        probes, stride)
     capacity = int(cfg.pair_capacity)
     summary_h = np.asarray(summary)
     mark("frontend")
@@ -607,8 +646,15 @@ def _find_seed_matches_virtual(index: FMIndex, query_text: np.ndarray,
                  else seed_mode.span_w_min(int(cfg.min_length), k, stride))
     else:
         w_min = 1
-    hint_key = (id(index.sa), k, stride, n_slabs, w_min)
-    hint = _virtual_last.get(hint_key, {})
+    from slamem_tpu.engine import adaptive
+
+    hint_key, disk_key = _virtual_hint_keys(index, k, stride, n_slabs,
+                                            w_min)
+    hint = _virtual_last.get(hint_key)
+    if hint is None:                      # cold process: seed from disk
+        rec = adaptive.get(disk_key)
+        hint = dict(rec) if isinstance(rec, dict) else {}
+        _virtual_last[hint_key] = hint
     run_cap = seed_mode.capacity_bucket(
         hint.get("frag", max(4096, capacity // 16)), 4096, capacity)
     out_cap = seed_mode.capacity_bucket(
@@ -648,7 +694,10 @@ def _find_seed_matches_virtual(index: FMIndex, query_text: np.ndarray,
         batches.append(seed_mode.runs_from_compacted32(
             out_d_h, out_qs_h, out_qe_h, kept, m_off))
         mark("fetch")
-    _virtual_last[hint_key] = {"frag": max_frag, "kept": max_kept}
+    new_hint = {"frag": max_frag, "kept": max_kept}
+    if new_hint != hint:
+        _virtual_last[hint_key] = new_hint
+        adaptive.put(disk_key, new_hint)   # write-through (hints only)
     if stride != 1:
         matches = seed_mode._finalize_strided(
             batches, qt, seed_mode.ext_table(index), k, stride, cfg)

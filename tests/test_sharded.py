@@ -198,3 +198,64 @@ def test_virtual_slabs_mesh_mismatch_raises():
     with pytest.raises(ValueError, match="must equal the device count"):
         find_seed_matches_sharded(idx, ref[:1000], Config(min_length=14),
                                   mesh, n_slabs=4)
+
+
+def test_virtual_hints_persist_and_correct(tmp_path, monkeypatch):
+    """Virtual-slab buffer hints round-trip through the adaptive disk
+    store, and an adversarially-poisoned record is corrected by the
+    growth loop (hints never affect correctness)."""
+    import importlib
+
+    from slamem_tpu.engine import adaptive
+    from slamem_tpu.dist import sharded
+
+    monkeypatch.setenv("SLAMEM_ADAPTIVE_DISK", "1")
+    monkeypatch.setattr(adaptive, "_DISABLED", False)
+    monkeypatch.setattr(adaptive, "_PATH", str(tmp_path / "adaptive.json"))
+    monkeypatch.setattr(adaptive, "_store", None)
+
+    ref = random_genome(30_000, seed=991)
+    qry = mutate(ref, 0.02, 0.002, seed=992)
+    idx = build_index(ref)
+    cfg = Config(min_length=20)
+    want = tuples(find_seed_matches(idx, qry, cfg))
+    got = tuples(find_seed_matches_sharded(idx, qry, cfg, None, n_slabs=4))
+    assert got == want
+    # a record was persisted
+    recs = {k: v for k, v in adaptive._load().items()
+            if k.startswith("virt|")}
+    assert len(recs) == 1
+    (disk_key, rec), = recs.items()
+    assert rec["frag"] > 0 and rec["kept"] >= 0
+
+    # poison the stored hint and clear the in-RAM cache: the engine must
+    # still produce the exact set (growth loop corrects) and rewrite it
+    adaptive.put(disk_key, {"frag": 1, "kept": 1})
+    sharded._virtual_last.clear()
+    got2 = tuples(find_seed_matches_sharded(idx, qry, cfg, None,
+                                            n_slabs=4))
+    assert got2 == want
+    assert adaptive._load()[disk_key] == rec
+
+
+def test_virtual_slabs_class_spanning_many_slabs():
+    """Owner routing's interior-slab case: a K-mer class larger than a
+    slab (poly-A run) spans several slabs entirely — interior slabs'
+    intervals are the whole slab and expansion must still be exact."""
+    rng = np.random.default_rng(77)
+    ref = np.concatenate([
+        rng.integers(0, 4, 2_000).astype(np.uint8),
+        np.zeros(24_000, np.uint8),             # poly-A >> slab size
+        rng.integers(0, 4, 2_000).astype(np.uint8)])
+    qry = np.concatenate([
+        rng.integers(0, 4, 500).astype(np.uint8),
+        np.zeros(3_000, np.uint8),              # query A-run
+        mutate(ref[:4_000], 0.02, 0.002, seed=78)])
+    idx = build_index(ref)
+    for minlen in (14, 40):
+        cfg = Config(min_length=minlen)
+        want = tuples(find_seed_matches(idx, qry, cfg))
+        for n_slabs in (4, 8):
+            got = tuples(find_seed_matches_sharded(idx, qry, cfg, None,
+                                                   n_slabs=n_slabs))
+            assert got == want and len(want) > 0, (minlen, n_slabs)
