@@ -215,7 +215,15 @@ def main(argv: list[str] | None = None) -> int:
     if cfg.shard_index or multihost:
         import jax
 
-        mesh = make_mesh(len(jax.devices()))
+        ndev = len(jax.devices())
+        if (cfg.shard_slabs is not None and cfg.shard_slabs != ndev
+                and not multihost):
+            # explicit -slabs differing from the device count selects the
+            # virtual multi-slab program (slabs iterated on ONE device);
+            # on a real pod slabs ride devices and the counts must match
+            mesh = make_mesh(1)
+        else:
+            mesh = make_mesh(ndev)
     try:
         out = run_engine(ref_set, query_set, cfg, index=index, mesh=mesh)
     except ValueError as e:

@@ -232,3 +232,32 @@ def test_multifasta_mum_mam_joined_dispatch(tmp_path):
             want = set((int(a), int(b), int(c)) for a, b, c in
                        oracle_matches(ref, s.codes, 14, mode))
             assert got[s.name] == want, (mode, s.name)
+
+
+def test_cli_slabs_flag(tmp_path):
+    """-shard -slabs N (virtual multi-slab program, N decoupled from the
+    device count) and -b joined requests through it produce bytes
+    identical to the replicated run."""
+    import subprocess
+    import sys
+
+    from slamem_tpu.io import Sequence, write_fasta
+    from slamem_tpu.utils.synth import mutate, random_genome
+
+    ref = random_genome(3000, seed=411)
+    qry = mutate(ref, 0.02, 0.002, seed=412)
+    rp, qp = str(tmp_path / "r.fa"), str(tmp_path / "q.fa")
+    write_fasta(rp, [Sequence("R", ref)])
+    write_fasta(qp, [Sequence("Q", qry), Sequence("Q2", qry[:1000])])
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    for extra in ([], ["-b"]):
+        outs = []
+        for flags in ([], ["-shard", "-slabs", "3"]):
+            r = subprocess.run(
+                [sys.executable, "-m", "slamem_tpu.cli.main", "-l", "14",
+                 "-o", "-", *extra, *flags, rp, qp],
+                capture_output=True, text=True, env=env)
+            assert r.returncode == 0, r.stderr[-1500:]
+            outs.append(r.stdout)
+        assert outs[0] == outs[1] and outs[0].count("\n") > 3
