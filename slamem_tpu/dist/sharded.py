@@ -525,7 +525,7 @@ def merge_slab_runs(run_d, run_qs, run_qe, n_runs, out_cap: int,
     means the compacted buffer truncated — redispatch with a larger
     out_cap (the triples are inputs, nothing is lost).
     """
-    ns, rc = run_d.shape
+    rc = run_d.shape[1]
     imax = jnp.int32(0x7FFFFFFF)
     valid = jnp.arange(rc, dtype=jnp.int32)[None, :] < n_runs[:, None]
     d = jnp.where(valid, run_d, imax).reshape(-1)
@@ -687,7 +687,7 @@ def _find_seed_matches_virtual(index: FMIndex, query_text: np.ndarray,
         true_pairs += int(np.asarray(n_pairs).sum())
         mark("expand")
         while True:   # grow out_cap until the merged survivors fit
-            out_d, out_qs, out_qe, n_merged, n_kept = merge_slab_runs(
+            out_d, out_qs, out_qe, _n_merged, n_kept = merge_slab_runs(
                 run_d, run_qs, run_qe, n_runs, out_cap, w_min)
             kept = int(np.asarray(n_kept))
             if kept <= out_cap:

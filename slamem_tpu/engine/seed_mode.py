@@ -430,7 +430,6 @@ def _bucket_intervals(refk, starts: jax.Array, qk,
     """
     refk_w = refk if isinstance(refk, tuple) else (refk,)
     qk_w = qk if isinstance(qk, tuple) else (qk,)
-    n = refk_w[0].shape[0]
     b = jax.lax.shift_right_logical(
         qk_w[0], jnp.asarray(shift, qk_w[0].dtype)).astype(jnp.int32)
     # starts[b] and starts[b+1] are adjacent: one 8 B paired gather instead
