@@ -486,7 +486,16 @@ def virtual_expand_runs(sa_p, lo_st, w_st, start, limit, m_off,
                         run_capacity: int, block: int, stride: int = 1):
     """sharded_expand_runs on one device: per-slab expansion + on-device
     run compaction, slabs iterated with lax.map (one slab's capacity-wide
-    temporaries live at a time)."""
+    temporaries live at a time).
+
+    Measured dead end (r5, do not re-try without new data): vmapping the
+    slab axis — batching every slab's expansion into one concurrent
+    program, the closer analogue of the mesh's parallel slabs — runs
+    SLOWER, 0.95 s vs 0.76 s at the chr1 shape (8 x 786K slots): the
+    batched (8, capacity)-wide sorts/scatters cost more than the map's
+    iteration structure saves, and the map already overlaps DMA with
+    compute within each slab's program.
+    """
     from slamem_tpu.engine.seed_mode import (_block_slices,
                                              _compact_pair_runs,
                                              _expand_pairs_core)
