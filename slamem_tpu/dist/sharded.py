@@ -197,37 +197,6 @@ def sharded_frontend_join(mesh: Mesh, refk_sh, qt: jax.Array, k: int,
     return fn(refk_sh, qt)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "capacity", "block",
-                                             "stride"))
-def sharded_expand(mesh: Mesh, sa_sh, lo_sh, w_sh, start, limit,
-                   m_off, capacity: int, block: int, stride: int = 1):
-    """Each shard expands its local interval parts for one position block
-    into sorted raw pairs (the MUM/MAM + run-overflow path; the MEM fast
-    path is sharded_expand_runs).
-
-    Fixed shapes: full per-shard interval arrays stay on device; the block
-    is selected inside the program from (start, limit) scalars.
-    """
-    from slamem_tpu.engine.seed_mode import (_block_slices,
-                                             _expand_pairs_core)
-
-    def step(sa_l, lo_l, w_l, st, lim, m_off):
-        lo_b, w_b, q_start = _block_slices(lo_l[0], w_l[0], st, lim, block)
-        d_s, q_s = _expand_pairs_core(sa_l[0], lo_b, w_b, q_start, m_off,
-                                      capacity, stride)
-        # all_gather so the result is REPLICATED: on a multi-process mesh
-        # the host can only fetch fully-addressable arrays, and every
-        # process needs every shard's pairs for the merge (the same
-        # contract as dist/seed.py's gathered collectives)
-        return jax.lax.all_gather(d_s, "q"), jax.lax.all_gather(q_s, "q")
-
-    fn = shard_map(
-        step, mesh=mesh,
-        in_specs=(P("q", None), P("q", None), P("q", None), P(), P(), P()),
-        out_specs=(P(), P()), check_vma=False)
-    return fn(sa_sh, lo_sh, w_sh, start, limit, m_off)
-
-
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "capacity", "run_capacity",
                                     "block", "stride"))
@@ -810,39 +779,51 @@ def find_seed_matches_sharded(index: FMIndex, query_text: np.ndarray,
     w_ext = jnp.concatenate([w_l, zpad], axis=1)
 
     m_off32 = jnp.asarray(m_off, jnp.int32)
-    run_cap = max(4096, capacity // 16)
+    # run-triple buffer from observed fragment counts (persisted like the
+    # virtual path's — same key space, w_min = -1 marks the mesh layout):
+    # at chr scale per-shard fragments approach per-shard PAIRS (noise
+    # runs are single-window), so the old capacity//16 default overflowed
+    # into the raw-pair fetch — n_slabs x capacity ints over the wire
+    from slamem_tpu.engine import adaptive
+
+    hint_key, disk_key = _virtual_hint_keys(index, k, stride, ndev_f, -1)
+    hint = _virtual_last.get(hint_key)
+    if hint is None:
+        rec = adaptive.get(disk_key)
+        hint = dict(rec) if isinstance(rec, dict) else {}
+        _virtual_last[hint_key] = hint
+    run_cap = seed_mode.capacity_bucket(
+        hint.get("frag", max(4096, capacity // 16)), 4096, capacity)
     batches: list[RunBatch] = []
     true_pairs = 0   # psum'd cross-shard total, accumulated per block
+    max_frag = 0
     for start, end in blocks:
         st = jnp.asarray(start, jnp.int64)
         en = jnp.asarray(end, jnp.int64)
-        run_d, run_qs, run_qe, n_runs, _tot = sharded_expand_runs(
-            mesh, sa_sh, lo_ext, w_ext, st, en, m_off32, capacity,
-            run_cap, block, stride)
+        while True:   # grow run_cap until every shard's fragments fit
+            run_d, run_qs, run_qe, n_runs, _tot = sharded_expand_runs(
+                mesh, sa_sh, lo_ext, w_ext, st, en, m_off32, capacity,
+                run_cap, block, stride)
+            n_runs_h = np.asarray(n_runs)
+            frag = int(n_runs_h.max())
+            if frag <= run_cap or run_cap >= capacity:
+                break
+            run_cap = seed_mode.capacity_bucket(frag, 4096, capacity)
+        max_frag = max(max_frag, frag)
         # the psum is the block's exact global pair count (ADVICE r4:
         # summary_h[0] is the cumsum of per-position WORST-shard widths —
         # a planning bound, not the pair total)
         true_pairs += int(np.asarray(_tot))
-        n_runs_h = np.asarray(n_runs)
         run_d_h = np.asarray(run_d)
         run_qs_h = np.asarray(run_qs)
         run_qe_h = np.asarray(run_qe)
-        overflow = [di for di in range(ndev)
-                    if int(n_runs_h[di]) > run_cap]
-        if overflow:  # run-capacity overflow: one raw-pair re-dispatch
-            d_all, q_all = sharded_expand(
-                mesh, sa_sh, lo_ext, w_ext, st, en, m_off32, capacity,
-                block, stride)
-            d_of = np.asarray(d_all)
-            q_of = np.asarray(q_all)
         for di in range(ndev):
-            if di in overflow:
-                batches.append(seed_mode.runs_from_sorted_pairs(
-                    d_of[di], q_of[di], m_off))
-            else:
-                batches.append(seed_mode.runs_from_compacted32(
-                    run_d_h[di], run_qs_h[di], run_qe_h[di],
-                    int(n_runs_h[di]), m_off))
+            batches.append(seed_mode.runs_from_compacted32(
+                run_d_h[di], run_qs_h[di], run_qe_h[di],
+                int(n_runs_h[di]), m_off))
+    if {"frag": max_frag} != hint:
+        _virtual_last[hint_key] = {"frag": max_frag}
+        adaptive.put(disk_key, {"frag": max_frag})
 
     if stride != 1:
         matches = seed_mode._finalize_strided(
