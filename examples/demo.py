@@ -38,6 +38,31 @@ def main():
     print(f"... {out.stats['matches']} matches, "
           f"{out.stats['query_mbp_per_s']:.2f} Mbp/s query throughput")
 
+    # --- index checkpointing: build once, -save/-load across processes ---
+    import tempfile
+
+    from slamem_tpu.index.build import build_index
+    from slamem_tpu.index.serialize import load_index, save_index
+
+    rtext, _ = ref_set.with_separators()
+    index = build_index(rtext)
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/ref.npz"
+        save_index(path, index)
+        index2 = load_index(path)
+    out2 = run_engine(ref_set, q_set, cfg, index=index2)
+    assert out2.stats["matches"] == out.stats["matches"]
+    print(f"index save/load roundtrip: {out2.stats['matches']} matches "
+          f"(identical)")
+
+    # --- sharded index (BASELINE config #5): the same request over the
+    # true multi-slab program — one chip iterates 4 SA-rank slabs ---
+    cfg_sh = Config(mode=MatchMode.MEM, min_length=25, both_strands=True,
+                    shard_index=True, shard_slabs=4)
+    out3 = run_engine(ref_set, q_set, cfg_sh, index=index2)
+    assert format_matches(out3) == listing
+    print("sharded (4 virtual slabs): byte-identical listing")
+
 
 if __name__ == "__main__":
     main()

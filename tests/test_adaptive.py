@@ -166,3 +166,36 @@ def test_digest_survives_index_save_load(tmp_path):
     save_index(path, built)
     loaded = load_index(path)
     assert index_digest(loaded) == index_digest(built)
+
+
+def test_adaptive_store_bounded_and_merged(tmp_path, monkeypatch):
+    """put() evicts oldest past _MAX_RECORDS and merges concurrent
+    writers' records instead of last-writer-wins clobbering (ADVICE r4)."""
+    import json
+
+    from slamem_tpu.engine import adaptive
+
+    monkeypatch.setattr(adaptive, "_DISABLED", False)
+    monkeypatch.setattr(adaptive, "_PATH", str(tmp_path / "a.json"))
+    monkeypatch.setattr(adaptive, "_store", None)
+    monkeypatch.setattr(adaptive, "_MAX_RECORDS", 10)
+    for i in range(15):
+        adaptive.put(f"k{i}", {"v": i})
+    disk = json.load(open(adaptive._PATH))
+    assert len(disk) == 10
+    assert "k0" not in disk and "k14" in disk     # oldest evicted
+
+    # a concurrent process wrote a record after our load: merge keeps it
+    disk["other"] = {"v": 99}
+    with open(adaptive._PATH, "w") as f:
+        json.dump(disk, f)
+    adaptive.put("k20", {"v": 20})
+    disk2 = json.load(open(adaptive._PATH))
+    assert disk2["other"] == {"v": 99} and disk2["k20"] == {"v": 20}
+
+    # re-putting an existing key refreshes recency
+    adaptive.put("k14", {"v": 140})
+    for i in range(30, 38):
+        adaptive.put(f"k{i}", {"v": i})
+    disk3 = json.load(open(adaptive._PATH))
+    assert disk3["k14"] == {"v": 140}
