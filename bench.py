@@ -752,6 +752,39 @@ def classify_error(msg: str) -> str:
 COLDRUNS_FILE = os.path.join(HERE, "BENCH_COLDRUNS.log")
 
 
+def isolated_scenario(name, fn, errors: list, *a, **kw):
+    """Run one bench scenario with cache isolation + classified errors.
+
+    Device caches are cleared before each attempt (scenario isolation,
+    VERDICT r3 missing #3); an ENVIRONMENTAL failure (tunnel/remote
+    compile/transport) is retried once when budget remains; any final
+    failure is appended to `errors` (the artifact's top-level summary a
+    commit message can honestly quote) and returned as an error record
+    instead of propagating — no scenario may mask the headline.
+    """
+    import gc
+
+    from slamem_tpu.utils.devcache import clear_device_caches
+
+    for attempt in (0, 1):
+        clear_device_caches()
+        gc.collect()
+        try:
+            return fn(*a, **kw)
+        except Exception as e:
+            cls = classify_error(str(e))
+            hb(f"scenario {name}: {cls} error"
+               f"{' (retrying)' if cls == 'environmental' and not attempt else ''}"
+               f": {str(e)[:160]}")
+            if cls == "environmental" and attempt == 0 \
+                    and time_left() > 60:
+                continue
+            errors.append({"scenario": name, "class": cls,
+                           "error": str(e)[:300]})
+            return {"error": str(e)[:300], "error_class": cls,
+                    "retried": attempt > 0}
+
+
 def coldrun_stats(values_with_current: list[float]) -> dict:
     import statistics
 
@@ -864,31 +897,12 @@ def main() -> int:
         # artifact carries a top-level `errors` summary a commit message
         # can honestly quote (empty == genuinely zero errors, including
         # per-variant sub-errors like the rank kernel's).
-        import gc
         import subprocess
-
-        from slamem_tpu.utils.devcache import clear_device_caches
 
         errors: list[dict] = []
 
         def isolated(name, fn, *a, **kw):
-            for attempt in (0, 1):
-                clear_device_caches()
-                gc.collect()
-                try:
-                    return fn(*a, **kw)
-                except Exception as e:
-                    cls = classify_error(str(e))
-                    hb(f"scenario {name}: {cls} error"
-                       f"{' (retrying)' if cls == 'environmental' and not attempt else ''}"
-                       f": {str(e)[:160]}")
-                    if cls == "environmental" and attempt == 0 \
-                            and time_left() > 60:
-                        continue
-                    errors.append({"scenario": name, "class": cls,
-                                   "error": str(e)[:300]})
-                    return {"error": str(e)[:300], "error_class": cls,
-                            "retried": attempt > 0}
+            return isolated_scenario(name, fn, errors, *a, **kw)
 
         detail = {"headline_5mbp_l20": isolated("headline", run_bench,
                                                 SIZE, MINLEN)}

@@ -62,3 +62,44 @@ def test_committed_coldruns_log_parses():
     assert len(vals) >= 10
     s = bench.coldrun_stats(vals)
     assert 20 < s["min"] <= s["median"] <= s["max"] < 200
+
+
+def test_isolated_scenario_retries_environmental_once(monkeypatch):
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("HTTP 500: tpu_compile_helper subprocess "
+                               "exit code 1")
+        return {"mbp_per_s": 42.0}
+
+    errors = []
+    res = bench.isolated_scenario("flaky", flaky, errors)
+    assert res == {"mbp_per_s": 42.0} and calls["n"] == 2
+    assert errors == []
+
+
+def test_isolated_scenario_engine_error_no_retry():
+    calls = {"n": 0}
+
+    def broken():
+        calls["n"] += 1
+        raise ValueError("matches differ")
+
+    errors = []
+    res = bench.isolated_scenario("broken", broken, errors)
+    assert calls["n"] == 1                       # engine errors: no retry
+    assert res["error_class"] == "engine"
+    assert errors == [{"scenario": "broken", "class": "engine",
+                       "error": "matches differ"}]
+
+
+def test_isolated_scenario_persistent_environmental_recorded():
+    def down():
+        raise RuntimeError("UNAVAILABLE: TPU worker process crashed")
+
+    errors = []
+    res = bench.isolated_scenario("down", down, errors)
+    assert res["error_class"] == "environmental" and res["retried"]
+    assert errors[0]["class"] == "environmental"
