@@ -54,6 +54,16 @@ _SLOW_TESTS = {
     "test_parity_with_n_runs",
     "test_sharded_two_word_seeds_parity",
     "test_parity_on_mesh",
+    "test_virtual_slabs_class_spanning_many_slabs",
+    "test_virtual_slabs_modes_and_deep_minlen",
+    "test_cli_slabs_flag",
+    "test_build_index_packed_text_upload_exact",
+    "test_virtual_slabs_equal_replicated",
+    "test_scan_chunked_equals_monolithic",
+    "test_parity_sharded",
+    "test_graft_entry_dryrun",
+    "test_virtual_hints_persist_and_correct",
+    "test_parity_multiround",
 }
 
 
