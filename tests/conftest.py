@@ -64,6 +64,7 @@ _SLOW_TESTS = {
     "test_graft_entry_dryrun",
     "test_virtual_hints_persist_and_correct",
     "test_parity_multiround",
+    "test_virtual_slabs_more_slabs_than_rows_edge",
 }
 
 

@@ -259,3 +259,19 @@ def test_virtual_slabs_class_spanning_many_slabs():
             got = tuples(find_seed_matches_sharded(idx, qry, cfg, None,
                                                    n_slabs=n_slabs))
             assert got == want and len(want) > 0, (minlen, n_slabs)
+
+
+def test_virtual_slabs_more_slabs_than_rows_edge():
+    """Degenerate layouts (tiny reference, slab count near/above the row
+    count -> fully-padded slabs whose ranged tables hold only pad rows)
+    must stay exact via the invalid-sa contract."""
+    ref = random_genome(300, seed=661)
+    qry = mutate(ref, 0.02, 0.0, seed=662)
+    idx = build_index(ref)
+    cfg = Config(min_length=10)
+    want = tuples(find_seed_matches(idx, qry, cfg))
+    assert len(want) > 0
+    for n_slabs in (7, 64, 301):
+        got = tuples(find_seed_matches_sharded(idx, qry, cfg, None,
+                                               n_slabs=n_slabs))
+        assert got == want, n_slabs
