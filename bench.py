@@ -835,6 +835,11 @@ def emit_headline(res: dict, official: bool = True) -> None:
     if official and res.get("platform") not in (None, "cpu"):
         prior = _recent_coldruns()
         payload["cold_runs"] = coldrun_stats(prior + [payload["value"]])
+        # the distribution also rides the caller's detail record (the
+        # driver's "parsed" field captures the LAST JSON line, which is
+        # the stderr detail) — VERDICT r4 #5's "parsed detail includes
+        # the distribution, not one draw"
+        res["cold_runs"] = payload["cold_runs"]
         try:
             with open(COLDRUNS_FILE, "a") as f:
                 f.write(f"## auto-appended by bench.py "
